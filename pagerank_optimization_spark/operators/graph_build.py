@@ -1,0 +1,114 @@
+"""Transcripts → link graph.
+
+Re-expresses the reference's graph-construction pipeline Spark-first:
+
+- edge list (COO `coo_matrix_t`, sparse.h:58-66) → edge DataFrame
+  ``edges(src, dst)`` — COO *is* the relational edge-list form;
+- out-degree count (`degree[j]++` per edge, pagerank.c:118-135)
+  → ``groupBy(src).count()`` hash aggregation;
+- column-stochastic normalization `values[e] = 1/degree[col]`
+  (pagerank.c:138-148) → broadcast equi-join + projection;
+- edge direction matches the reference's column→row convention:
+  an entry (i, j) means j → i, degree counted on the SOURCE.
+
+Edges are derived from transcripts per the north rule:
+- reply adjacency: within a conv_id under stable turn_idx ordering,
+  turn t's entity → turn t−1's entity (Window + lag);
+- tool invocation: assistant turn with non-null tool → tool entity.
+Duplicates collapse to a single 0/1 edge (the reference's Bernoulli
+generator cannot emit multi-edges — one draw per cell, pagerank.c:180-208);
+self-loops are kept (the generator does not exclude the diagonal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.functions.entities import agent_key_expr, turn_entity_expr
+
+
+def turn_entities(transcripts: DataFrame) -> DataFrame:
+    """Annotate each turn with its graph entity. Prunes ``text`` — graph jobs
+    never read it, so the parquet scan only materializes the id columns
+    (column pruning is visible in `ReadSchema` of the physical plan)."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        turn_entity_expr(F.col("role"), F.col("conv_id"), F.col("tool")).alias("entity"),
+    ).filter(F.col("entity").isNotNull())
+
+
+def build_edges(transcripts: DataFrame) -> DataFrame:
+    """Distinct directed edges (src, dst) from reply + tool adjacency."""
+    turns = turn_entities(transcripts)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    reply = (
+        turns.withColumn("prev_entity", F.lag("entity").over(w))
+        .filter(F.col("prev_entity").isNotNull())
+        .select(F.col("entity").alias("src"), F.col("prev_entity").alias("dst"))
+    )
+    tool_edges = turns.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select(
+        F.concat(F.lit("agent:"), agent_key_expr(F.col("conv_id"))).alias("src"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+    )
+    return reply.unionByName(tool_edges).distinct()
+
+
+def build_vertices(transcripts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distinct entity vertices: every turn entity plus every edge endpoint
+    (single-turn conversations yield isolated — dangling — vertices, which
+    the PageRank kernel must handle; the reference leaks their mass,
+    our engine redistributes it, see operators.pagerank)."""
+    turns = turn_entities(transcripts).select("entity")
+    ends = edges.select(F.col("src").alias("entity")).unionByName(
+        edges.select(F.col("dst").alias("entity"))
+    )
+    return turns.unionByName(ends).distinct()
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """outdeg per source — `degree[j]++` (pagerank.c:118-135) as a hash agg
+    (partial map-side + final reduce-side combine is automatic — the Spark
+    analog of the reference's OpenMP array reduction,
+    tuned_variant_openmp.c:75-77)."""
+    return edges.groupBy(F.col("src").alias("entity")).agg(F.count("*").alias("outdeg"))
+
+
+def normalize_edges(edges: DataFrame, outdeg: DataFrame | None = None) -> DataFrame:
+    """weight = 1/outdeg(src) (pagerank.c:138-148) → column-stochastic edges.
+
+    The degree table is |V|-sized (≪ |E|) — broadcast it so the big edge
+    relation never shuffles for this join.
+    """
+    outdeg = outdeg if outdeg is not None else out_degrees(edges)
+    return (
+        edges.join(
+            F.broadcast(outdeg.withColumnRenamed("entity", "src")),
+            "src",
+            "inner",
+        )
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight"))
+    )
+
+
+def build_graph(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """transcripts → (vertices, weighted edges). The Spark analog of
+    `initialize_multiformat_graph` (pagerank.c:279-305)."""
+    edges = build_edges(transcripts)
+    vertices = build_vertices(transcripts, edges)
+    return vertices, normalize_edges(edges)
+
+
+def vertex_ids(vertices: DataFrame) -> DataFrame:
+    """Deterministic dense vid per entity: row_number over sorted entities
+    (0-based, LongType — the reference's int32 ids, sparse.h:63-64, are a
+    scale limit we deliberately do not copy). A global sort is fine at
+    fixture scale; at 10^12 turns swap in zipWithIndex over sorted
+    partitions — same contract, no single-point sort."""
+    w = W.orderBy("entity")
+    return vertices.select("entity", (F.row_number().over(w) - 1).cast("long").alias("vid"))

@@ -1,0 +1,122 @@
+"""Pure-Python/numpy oracles — an INDEPENDENT reimplementation of the
+engine's semantics (entity rules, edge derivation, dense power iteration)
+used as the REF side of differential tests, mirroring the reference's
+REF-vs-TST harness (verify_op.c:196-254) but with float64 and deterministic
+inputs (the reference's srand(time(NULL)) defect is fixed, not copied).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+N_AGENTS = 17
+
+
+def agent_key(conv_id: str) -> str:
+    digits = re.sub(r"[^0-9]", "", conv_id)
+    return f"a{int(digits) % N_AGENTS}" if digits else "a0"
+
+
+def turn_entity(role: str, conv_id: str, tool) -> str | None:
+    if role == "user":
+        return f"conv:{conv_id}"
+    if role == "assistant":
+        return f"agent:{agent_key(conv_id)}"
+    return f"tool:{tool}" if tool is not None else None
+
+
+def derive_edges(rows) -> set[tuple[str, str]]:
+    """rows: iterable of dicts with conv_id, turn_idx, role, tool.
+    Returns the distinct directed edge set (src, dst)."""
+    by_conv: dict[str, list] = {}
+    edges: set[tuple[str, str]] = set()
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        prev = None
+        for r in turns:
+            ent = turn_entity(r["role"], r["conv_id"], r["tool"])
+            if ent is None:
+                # unattributable turn: reply adjacency bridges over it
+                # (engine filters null entities before the lag window)
+                continue
+            if prev is not None:
+                edges.add((ent, prev))
+            if r["role"] == "assistant" and r["tool"] is not None:
+                edges.add((f"agent:{agent_key(r['conv_id'])}", f"tool:{r['tool']}"))
+            prev = ent
+    return edges
+
+
+def vertices_of(rows, edges) -> list[str]:
+    vs = set()
+    for r in rows:
+        ent = turn_entity(r["role"], r["conv_id"], r["tool"])
+        if ent is not None:
+            vs.add(ent)
+    for s, d in edges:
+        vs.add(s)
+        vs.add(d)
+    return sorted(vs)
+
+
+def pagerank_dense(
+    vertices: list[str],
+    edges: set[tuple[str, str]],
+    damping: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+) -> dict[str, float]:
+    """Dense float64 power iteration with damping + dangling redistribution."""
+    n = len(vertices)
+    idx = {v: i for i, v in enumerate(vertices)}
+    A = np.zeros((n, n), dtype=np.float64)  # A[dst, src] = 1/outdeg(src)
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, d in edges:
+        outdeg[idx[s]] += 1
+    for s, d in edges:
+        A[idx[d], idx[s]] = 1.0 / outdeg[idx[s]]
+    x = np.full(n, 1.0 / n)
+    dangling = outdeg == 0
+    k = fixed_iters if fixed_iters is not None else max_iter
+    for _ in range(k):
+        dm = x[dangling].sum()
+        y = (1.0 - damping) / n + damping * (A @ x + dm / n)
+        delta = np.abs(y - x).sum()
+        x = y
+        if fixed_iters is None and delta <= tol:
+            break
+    return {v: float(x[idx[v]]) for v in vertices}
+
+
+def connected_components(vertices: list[str], edges: set[tuple[str, str]]) -> dict[str, str]:
+    """Weakly connected components via union-find; label = min entity."""
+    parent = {v: v for v in vertices}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in vertices}
+
+
+def triangle_count(edges: set[tuple[str, str]]) -> int:
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    count = 0
+    for a, bs in adj.items():
+        for b in bs:
+            count += len(bs & adj.get(b, set()))
+    return count

@@ -1,0 +1,114 @@
+"""Edge-derivation + degree + normalization unit tests against the
+independent Python oracle (SURVEY.md §5 item 1/2)."""
+
+import numpy as np
+import pytest
+
+from pagerank_optimization_spark.operators.graph_build import (
+    build_edges,
+    build_graph,
+    build_vertices,
+    out_degrees,
+    vertex_ids,
+)
+from pagerank_optimization_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    synthesize_transcripts,
+)
+from tests import oracle
+
+HAND_ROWS = [
+    # conv-0001 → digits 1 → agent a1; conv entity conv:conv-0001
+    ("conv-0001", 0, "user", "t", None),
+    ("conv-0001", 1, "assistant", "t", "tool-x"),
+    ("conv-0001", 2, "user", "t", None),
+    ("conv-0001", 3, "assistant", "t", "tool-y"),
+    ("conv-0001", 4, "assistant", "t", None),  # consecutive assistant → self-loop
+    # conv-0018 → digits 18 % 17 = 1 → same agent a1 (hub sharing)
+    ("conv-0018", 0, "user", "t", None),
+    ("conv-0018", 1, "assistant", "t", "tool-x"),
+    # single-turn conversation → isolated dangling vertex
+    ("conv-0099", 0, "user", "t", None),
+]
+
+
+def _df_from_rows(spark, rows):
+    import datetime
+
+    full = [
+        (c, i, r, f"{c}:{i}:{r}", t, datetime.datetime(2024, 1, 1, 0, 0, i))
+        for (c, i, r, _txt, t) in rows
+    ]
+    return spark.createDataFrame(full, schema=TRANSCRIPT_SCHEMA)
+
+
+def _rows_as_dicts(rows):
+    return [
+        {"conv_id": c, "turn_idx": i, "role": r, "tool": t} for c, i, r, _txt, t in rows
+    ]
+
+
+def test_hand_checked_edges(spark):
+    df = _df_from_rows(spark, HAND_ROWS)
+    got = {(r.src, r.dst) for r in build_edges(df).collect()}
+    expected = {
+        ("agent:a1", "conv:conv-0001"),   # turn1 → turn0
+        ("conv:conv-0001", "agent:a1"),   # turn2 → turn1
+        ("agent:a1", "agent:a1"),         # turn4 → turn3 self-loop
+        ("agent:a1", "tool:tool-x"),
+        ("agent:a1", "tool:tool-y"),
+        ("agent:a1", "conv:conv-0018"),
+        # conv-0018 reply edge duplicates (agent:a1 → conv:conv-0018)? no —
+        # distinct conv entity; edge agent:a1→conv:conv-0018 comes from its turn1→turn0
+    }
+    assert got == expected
+    assert got == oracle.derive_edges(_rows_as_dicts(HAND_ROWS))
+
+
+def test_vertices_include_isolated(spark):
+    df = _df_from_rows(spark, HAND_ROWS)
+    edges = build_edges(df)
+    vs = {r.entity for r in build_vertices(df, edges).collect()}
+    assert "conv:conv-0099" in vs  # isolated single-turn conversation
+    assert vs == set(oracle.vertices_of(_rows_as_dicts(HAND_ROWS), oracle.derive_edges(_rows_as_dicts(HAND_ROWS))))
+
+
+def test_degrees_and_normalization(spark):
+    df = _df_from_rows(spark, HAND_ROWS)
+    _, wedges = build_graph(df)
+    rows = wedges.collect()
+    # weights per src sum to 1 (column-stochastic, pagerank.c:138-148)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.weight)
+    for src, ws in by_src.items():
+        assert np.isclose(sum(ws), 1.0)
+        assert all(np.isclose(w, 1.0 / len(ws)) for w in ws)
+
+
+def test_synthesized_transcripts_deterministic_and_skewed(spark):
+    a = synthesize_transcripts(spark, 200, seed=42).orderBy("conv_id", "turn_idx").collect()
+    b = synthesize_transcripts(spark, 200, seed=42).orderBy("conv_id", "turn_idx").collect()
+    assert a == b  # fully deterministic (fixes the reference's srand(time(NULL)))
+    assert len(a) >= 800  # ≥4 turns per conv
+    # per-turn text invariant: text == conv_id:turn_idx:role:payload
+    for r in a[:200]:
+        assert r.text.startswith(f"{r.conv_id}:{r.turn_idx}:{r.role}:")
+    # tool usage is Zipf-skewed: most-used tool ≫ median
+    tools = [r.tool for r in a if r.tool is not None]
+    assert len(tools) > 0
+    from collections import Counter
+
+    counts = sorted(Counter(tools).values(), reverse=True)
+    assert counts[0] >= 3 * counts[len(counts) // 2]
+
+
+def test_vertex_ids_dense_and_deterministic(spark):
+    df = _df_from_rows(spark, HAND_ROWS)
+    edges = build_edges(df)
+    vs = build_vertices(df, edges)
+    ids = vertex_ids(vs).collect()
+    vids = sorted(r.vid for r in ids)
+    assert vids == list(range(len(ids)))
+    ents = [r.entity for r in sorted(ids, key=lambda r: r.vid)]
+    assert ents == sorted(ents)
