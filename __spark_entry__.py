@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship converged PageRank over the transcript graph
+derived from sf0.001 events.
+``queries()`` / ``oracle_sql()`` — per-operator Spark callables and their
+DuckDB SQL twins (built in pagerank_optimization_spark.plans.oracle_sql);
+the driver compares them at sf=0.01 (row count + schema + value hash).
+Column names are aliased identically on both sides; floats rounded to 8
+decimals on both sides (cross-engine float64 noise is ~1e-15 relative).
 """
 
 from __future__ import annotations
@@ -12,27 +14,82 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.operators.components import connected_components
+from pagerank_optimization_spark.operators.graph_build import build_graph, out_degrees, build_edges
+from pagerank_optimization_spark.operators.pagerank import pagerank
+from pagerank_optimization_spark.operators.triangles import triangle_count
+from pagerank_optimization_spark.plans import oracle_sql as osql
+from pagerank_optimization_spark.sources.transcripts import transcripts_from_events
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    return build_graph(transcripts_from_events(_events(spark, sf_dir)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank (damping .85, dangling redistribution,
+    L1 tol 1e-6) over the sf0.001 transcript graph; top-ranked entities."""
+    vertices, edges = _graph(spark, SF0001)
+    res = pagerank(vertices, edges, tol=1e-6, max_iter=100)
+    return res.ranks.orderBy(F.desc("pr"), F.asc("entity")).limit(25)
+
+
+# --- oracle-checked queries -------------------------------------------------
+
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(_events(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_edges(transcripts_from_events(_events(spark, sf_dir)))
+
+
+def _q_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return out_degrees(_q_edges(spark, sf_dir))
+
+
+def _q_pagerank_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = _graph(spark, sf_dir)
+    res = pagerank(vertices, edges, fixed_iters=5)
+    return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
+
+
+def _q_cc_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, wedges = _graph(spark, sf_dir)
+    return connected_components(vertices, wedges, fixed_rounds=16)
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derived": _q_transcripts,
+        "graph_edges": _q_edges,
+        "graph_outdegree": _q_outdegree,
+        "graph_pagerank_k5": _q_pagerank_k5,
+        "graph_cc_r16": _q_cc_r16,
+        "graph_triangles": _q_triangles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_derived": osql.transcripts_query_sql(),
+        "graph_edges": osql.edges_query_sql(),
+        "graph_outdegree": osql.outdegree_query_sql(),
+        "graph_pagerank_k5": osql.pagerank_query_sql(k=5),
+        "graph_cc_r16": osql.cc_query_sql(rounds=16),
+        "graph_triangles": osql.triangle_query_sql(),
+    }

@@ -14,7 +14,11 @@ Re-expresses the reference's graph-construction pipeline Spark-first:
 Edges are derived from transcripts per the north rule:
 - reply adjacency: within a conv_id under stable turn_idx ordering,
   turn t's entity → turn t−1's entity (Window + lag);
-- tool invocation: assistant turn with non-null tool → tool entity.
+- tool invocation: assistant turn with non-null tool → tool entity;
+- tool consumption: the turn FOLLOWING a tool invocation reads the tool's
+  output → edge from that turn's entity to the tool entity (this closes
+  conv–agent–tool 3-cycles; without it the graph is bipartite-ish and
+  triangle counting is vacuous).
 Duplicates collapse to a single 0/1 edge (the reference's Bernoulli
 generator cannot emit multi-edges — one draw per cell, pagerank.c:180-208);
 self-loops are kept (the generator does not exclude the diagonal).
@@ -56,7 +60,19 @@ def build_edges(transcripts: DataFrame) -> DataFrame:
         F.concat(F.lit("agent:"), agent_key_expr(F.col("conv_id"))).alias("src"),
         F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
     )
-    return reply.unionByName(tool_edges).distinct()
+    followup = (
+        turns.withColumn("next_entity", F.lead("entity").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & F.col("tool").isNotNull()
+            & F.col("next_entity").isNotNull()
+        )
+        .select(
+            F.col("next_entity").alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        )
+    )
+    return reply.unionByName(tool_edges).unionByName(followup).distinct()
 
 
 def build_vertices(transcripts: DataFrame, edges: DataFrame) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Triangle counting — north_star algorithm #4 (absent from the reference;
+built on the same edge DataFrame).
+
+Algorithm: canonicalize to undirected edges (a < b, self-loops dropped),
+then count 2-paths a→b→c (a<b<c by construction) that close with edge
+(a, c) — two self-joins. For power-law graphs the classic optimization is
+to orient edges from lower- to higher-degree endpoint before the 2-path
+join, which bounds per-vertex join fan-out by O(sqrt(|E|)) (hub vertices
+stop being 2-path centers) — ``degree_oriented=True`` does exactly that and
+is the 100 TB-scale path; the lexicographic orientation is kept because it
+is oracle-expressible in portable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, self-loops dropped,
+    duplicates collapsed."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, *, degree_oriented: bool = True) -> DataFrame:
+    """→ 1-row DataFrame(n_triangles long): global triangle count."""
+    und = undirected_edges(edges)
+    if degree_oriented:
+        # orient low-degree → high-degree (ties by entity) so no vertex's
+        # out-set exceeds O(sqrt(E)); the 2-path join fan-out collapses
+        deg = (
+            und.select(F.col("a").alias("v")).unionByName(und.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count("*").alias("deg"))
+        )
+        e = (
+            und.join(F.broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da")), "a")
+            .join(F.broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db")), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                )
+                .otherwise(F.struct(F.col("b").alias("x"), F.col("a").alias("y")))
+                .alias("e")
+            )
+            .select("e.x", "e.y")
+        )
+    else:
+        e = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+
+    p1 = e.select(F.col("x").alias("v0"), F.col("y").alias("v1"))
+    p2 = e.select(F.col("x").alias("v1"), F.col("y").alias("v2"))
+    two_paths = p1.join(p2, "v1")
+    closing = e.select(F.col("x").alias("v0"), F.col("y").alias("v2"))
+    tri = two_paths.join(closing, ["v0", "v2"], "inner")
+    # with lexicographic orientation each triangle appears exactly once as
+    # (a<b<c); with degree orientation likewise exactly once (acyclic
+    # orientation of a 3-cycle has exactly one length-2 path + closing edge)
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def local_triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts (entity, n_triangles) —
+    clustering-coefficient building block."""
+    und = undirected_edges(edges)
+    e = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    p1 = e.select(F.col("x").alias("v0"), F.col("y").alias("v1"))
+    p2 = e.select(F.col("x").alias("v1"), F.col("y").alias("v2"))
+    tri = (
+        p1.join(p2, "v1")
+        .join(e.select(F.col("x").alias("v0"), F.col("y").alias("v2")), ["v0", "v2"], "inner")
+    )
+    per_vertex = (
+        tri.select(F.col("v0").alias("entity"))
+        .unionByName(tri.select(F.col("v1").alias("entity")))
+        .unionByName(tri.select(F.col("v2").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_vertex

@@ -1,0 +1,178 @@
+"""ANSI-SQL twins of the engine's graph pipeline, for the driver's DuckDB
+correctness oracle (SURVEY.md §5 item 4).
+
+Every builder returns a complete SELECT whose CTE chain reproduces,
+step-for-step, what the Spark operators compute from the driver's
+``events`` view: events → transcripts → turn entities → distinct edges →
+vertices → out-degrees → {PageRank (unrolled fixed-K), CC (unrolled
+fixed-round min-label), triangles, degrees}.
+
+Iterative algorithms are UNROLLED (r0..rK as chained CTEs) rather than
+WITH RECURSIVE: fixed-K matches the engine's oracle mode exactly and
+sidesteps recursive-aggregate dialect differences.
+
+Floats are rounded to 8 decimals on BOTH sides — float64 cross-engine
+differences are ~1e-15 relative, eight decimals is far above the noise
+floor and far below meaningful rank differences.
+"""
+
+from __future__ import annotations
+
+from pagerank_optimization_spark.functions.entities import entity_sql
+from pagerank_optimization_spark.sources.transcripts import transcripts_from_events_sql
+
+DAMPING = 0.85
+
+
+def _mat(dialect: str) -> str:
+    """DuckDB inlines CTEs by default; unrolled iteration must materialize
+    each round or the plan (and open file handles) grow exponentially."""
+    return "MATERIALIZED " if dialect == "duckdb" else ""
+
+
+def graph_ctes(dialect: str = "duckdb") -> str:
+    """The shared CTE chain: transcripts, turns, edges, vertices, outdeg."""
+    m = _mat(dialect)
+    return f"""
+transcripts AS {m}({transcripts_from_events_sql('events', dialect)}),
+turns AS {m}(
+  SELECT conv_id, turn_idx, role, tool, {entity_sql(dialect)} AS entity
+  FROM transcripts
+  WHERE {entity_sql(dialect)} IS NOT NULL
+),
+reply_edges AS {m}(
+  SELECT entity AS src,
+         lag(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM turns
+),
+tool_edges AS {m}(
+  SELECT entity AS src, concat('tool:', tool) AS dst
+  FROM turns WHERE role = 'assistant' AND tool IS NOT NULL
+),
+followup_edges AS {m}(
+  SELECT next_entity AS src, concat('tool:', tool) AS dst
+  FROM (
+    SELECT role, tool,
+           lead(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_entity
+    FROM turns
+  ) f
+  WHERE role = 'assistant' AND tool IS NOT NULL AND next_entity IS NOT NULL
+),
+edges AS {m}(
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM reply_edges WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT src, dst FROM tool_edges
+    UNION ALL
+    SELECT src, dst FROM followup_edges
+  ) u
+),
+vertices AS {m}(
+  SELECT DISTINCT entity FROM (
+    SELECT entity FROM turns
+    UNION ALL SELECT src AS entity FROM edges
+    UNION ALL SELECT dst AS entity FROM edges
+  ) v
+),
+outdeg AS {m}(
+  SELECT src AS entity, count(*) AS outdeg FROM edges GROUP BY src
+)"""
+
+
+def transcripts_query_sql(dialect: str = "duckdb") -> str:
+    """Per-turn text-equality invariant query (input_hint): the derived
+    transcript rows themselves (ts excluded — representation differs across
+    engines; identity is carried by conv_id/turn_idx/text)."""
+    return (
+        f"WITH transcripts AS ({transcripts_from_events_sql('events', dialect)}) "
+        "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
+    )
+
+
+def edges_query_sql(dialect: str = "duckdb") -> str:
+    return f"WITH {graph_ctes(dialect)} SELECT src, dst FROM edges"
+
+
+def outdegree_query_sql(dialect: str = "duckdb") -> str:
+    return f"WITH {graph_ctes(dialect)} SELECT entity, outdeg FROM outdeg"
+
+
+def pagerank_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
+    """Unrolled K-step damped PageRank with dangling redistribution —
+    byte-for-byte the math of operators.pagerank (and of the numpy oracle)."""
+    d = DAMPING
+    m = _mat(dialect)
+    steps = []
+    steps.append(f"nv AS {m}(SELECT count(*) AS n FROM vertices)")
+    steps.append(f"r0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+dang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.entity = o.entity
+  WHERE o.entity IS NULL
+),
+contrib{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr / o.outdeg) AS contrib
+  FROM edges e
+  JOIN r{p} r ON e.src = r.entity
+  JOIN outdeg o ON e.src = o.entity
+  GROUP BY e.dst
+),
+r{i} AS {m}(
+  SELECT v.entity,
+         (1.0 - {d}) / (SELECT n FROM nv)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT n FROM nv)
+                  + coalesce(c.contrib, 0)) AS pr
+  FROM vertices v LEFT JOIN contrib{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, round(pr, {round_to}) AS pr FROM r{k}"
+    )
+
+
+def cc_query_sql(rounds: int = 16, dialect: str = "duckdb") -> str:
+    """Unrolled min-label propagation on the symmetrized graph."""
+    m = _mat(dialect)
+    steps = [
+        f"""sym AS {m}(
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+)""",
+        f"c0 AS {m}(SELECT entity, entity AS lbl FROM vertices)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+nm{i} AS {m}(
+  SELECT s.a AS entity, min(c.lbl) AS nmin
+  FROM sym s JOIN c{p} c ON s.b = c.entity
+  GROUP BY s.a
+),
+c{i} AS {m}(
+  SELECT v.entity, least(v.lbl, coalesce(m.nmin, v.lbl)) AS lbl
+  FROM c{p} v LEFT JOIN nm{i} m ON v.entity = m.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, lbl AS component FROM c{rounds}"
+    )
+
+
+def triangle_query_sql(dialect: str = "duckdb") -> str:
+    """Global triangle count via canonical a<b<c two self-joins (matches
+    operators.triangles with lexicographic orientation)."""
+    return f"""WITH {graph_ctes(dialect)},
+und AS {_mat(dialect)}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT count(*) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""

@@ -36,18 +36,22 @@ def derive_edges(rows) -> set[tuple[str, str]]:
         by_conv.setdefault(r["conv_id"], []).append(r)
     for conv, turns in by_conv.items():
         turns.sort(key=lambda r: r["turn_idx"])
-        prev = None
+        ents = []
         for r in turns:
             ent = turn_entity(r["role"], r["conv_id"], r["tool"])
             if ent is None:
                 # unattributable turn: reply adjacency bridges over it
                 # (engine filters null entities before the lag window)
                 continue
-            if prev is not None:
-                edges.add((ent, prev))
+            ents.append((r, ent))
+        for i, (r, ent) in enumerate(ents):
+            if i > 0:
+                edges.add((ent, ents[i - 1][1]))
             if r["role"] == "assistant" and r["tool"] is not None:
                 edges.add((f"agent:{agent_key(r['conv_id'])}", f"tool:{r['tool']}"))
-            prev = ent
+                # tool consumption: next turn reads the tool output
+                if i + 1 < len(ents):
+                    edges.add((ents[i + 1][1], f"tool:{r['tool']}"))
     return edges
 
 

@@ -57,6 +57,9 @@ def test_hand_checked_edges(spark):
         ("agent:a1", "agent:a1"),         # turn4 → turn3 self-loop
         ("agent:a1", "tool:tool-x"),
         ("agent:a1", "tool:tool-y"),
+        # tool consumption: t2 (conv entity) follows the t1 tool-x invocation;
+        # t4's followup of tool-y duplicates the agent→tool-y invocation edge
+        ("conv:conv-0001", "tool:tool-x"),
         ("agent:a1", "conv:conv-0018"),
         # conv-0018 reply edge duplicates (agent:a1 → conv:conv-0018)? no —
         # distinct conv entity; edge agent:a1→conv:conv-0018 comes from its turn1→turn0
