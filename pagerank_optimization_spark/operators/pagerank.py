@@ -18,12 +18,9 @@ reference's REF/TST macro-dispatch harness, verify_op.c:196-239):
   key and cached, so per-superstep only the |V|-sized rank frontier
   shuffles — the big relation stays put (exchange reuse).
 
-- ``csr-blocks`` — per-partition CSR blocks (the tuned_variant_csr.c:179-229
-  counting-sort layout, rebuilt as numpy inside Arrow) cogrouped with the
-  bucketed rank vector; vectorized gather `x[col_idx]` is numpy fancy
-  indexing (the AVX2 `_mm256_i32gather_ps` analog,
-  tuned_variant_simd.c:297-300), partial scatter-add is `np.bincount`
-  (tuned_variant_csr.c:74-84). See operators.pagerank_csr.
+- ``csr-blocks`` — per-bucket CSR blocks (the tuned_variant_csr.c:179-229
+  counting-sort layout rebuilt as numpy inside Arrow) cogrouped with the
+  bucketed rank vector. See operators.pagerank_csr.
 
 Superstep lifecycle (lineage hygiene): each iterate is localCheckpoint'ed
 (or durably checkpointed via a CheckpointManager) — the DataFrame analog of
@@ -34,6 +31,7 @@ otherwise linearly-growing plan.
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -53,20 +51,107 @@ class PageRankResult:
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
-def _prepare(vertices: DataFrame, edges: DataFrame, id_col: str, partitions: int):
-    """One-time layout decisions — the Spark analog of DISTRIBUTE_DATA
-    (tuned_variant_baseline.c:247-324): pick the physical partitioning once,
-    reuse it every superstep."""
-    edges = edges.repartition(partitions, "src").persist()
-    vertices = vertices.select(id_col).persist()
-    n = vertices.count()
-    # dangling vertices: no outgoing edges (the reference lets their mass
-    # leak, pagerank.c:138-148 normalizes only non-empty columns)
-    dangling = vertices.join(
+def _iterate(
+    vertices: DataFrame,
+    id_col: str,
+    step_fn: Callable[[DataFrame], DataFrame],
+    dangling: DataFrame,
+    n: int,
+    nnz: int,
+    *,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    fixed_iters: int | None,
+    partitions: int,
+    checkpointer=None,
+) -> PageRankResult:
+    """The shared superstep loop. ``step_fn(ranks) -> contribs`` computes the
+    gather-scatter SpMV (kernel-specific); everything else — dangling mass,
+    damping, delta, checkpoint — is kernel-independent and identical to the
+    numpy oracle's math."""
+    def canonical(df: DataFrame) -> DataFrame:
+        # canonical physical layout for the rank vector: hash-partitioned on
+        # the id, sorted within partitions. Makes the FP summation order of
+        # every downstream agg reproducible, so a resumed run is BITWISE
+        # equal to an uninterrupted one (not just allclose) — float64 sums
+        # are order-sensitive in the last ulp.
+        return df.repartition(partitions, id_col).sortWithinPartitions(id_col)
+
+    start_iter = 0
+    ranks = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            start_iter, ranks = resumed
+    if ranks is None:
+        # x0 = 1/m uniform (pagerank.c:238; helper.c:79-84)
+        ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+    ranks = canonical(ranks).localCheckpoint(eager=True)
+
+    k = fixed_iters if fixed_iters is not None else max_iter
+    deltas: list[float] = []
+    metrics: list[dict[str, Any]] = []
+    converged = False
+
+    for it in range(start_iter, k):
+        t0 = time.monotonic()
+        # dangling mass: Σ rank over vertices with outdeg 0 — a |dangling|-row
+        # scalar agg, never a collect of the rank vector
+        dangling_mass = (
+            ranks.join(dangling, id_col, "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = step_fn(ranks)
+        base = (1.0 - damping) / n + damping * dangling_mass / n
+        new_ranks = vertices.join(contribs, id_col, "left").select(
+            id_col,
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        new_ranks = canonical(new_ranks).localCheckpoint(eager=True)
+
+        delta = (
+            new_ranks.withColumnRenamed("pr", "pr_new")
+            .join(ranks, id_col)
+            .agg(F.sum(F.abs(F.col("pr_new") - F.col("pr"))))
+            .collect()[0][0]
+        )
+        deltas.append(float(delta))
+        row = {
+            "superstep": it,
+            "l1_delta": float(delta),
+            "edges_processed": int(nnz),
+            "wall_ms": (time.monotonic() - t0) * 1000.0,
+            "dangling_mass": float(dangling_mass),
+            "n_partitions": partitions,
+        }
+        metrics.append(row)
+        if checkpointer is not None:
+            checkpointer.save(it, new_ranks, row)
+        ranks = new_ranks
+        if fixed_iters is None and delta <= tol:
+            converged = True
+            break
+
+    return PageRankResult(
+        ranks=ranks,
+        iterations=len(deltas) + start_iter,
+        converged=converged,
+        deltas=deltas,
+        metrics=metrics,
+    )
+
+
+def _dangling_of(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """Vertices with no outgoing edges (the reference lets their mass leak —
+    pagerank.c:138-148 normalizes only non-empty columns; we redistribute)."""
+    return vertices.join(
         edges.select(F.col("src").alias(id_col)).distinct(), id_col, "left_anti"
-    ).persist()
-    edges.count()  # materialize the partitioned cache
-    return vertices, edges, dangling, n
+    )
 
 
 def pagerank(
@@ -79,6 +164,7 @@ def pagerank(
     max_iter: int = 100,
     fixed_iters: int | None = None,
     partitions: int | None = None,
+    kernel: str = "join-agg",
     checkpointer=None,
 ) -> PageRankResult:
     """Damped PageRank with dangling redistribution over weighted edges
@@ -88,84 +174,63 @@ def pagerank(
 
     ``fixed_iters`` runs exactly K supersteps (oracle mode — matches the
     reference's fixed k0, tuned_variant_baseline.c:120); otherwise iterate
-    to L1 delta ≤ tol.
+    to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks"}.
     """
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
-    vertices, edges, dangling, n = _prepare(vertices, edges, id_col, partitions)
+
+    if kernel == "csr-blocks":
+        from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
+
+        return pagerank_csr(
+            vertices,
+            edges,
+            id_col=id_col,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            fixed_iters=fixed_iters,
+            partitions=partitions,
+            checkpointer=checkpointer,
+        )
+    if kernel != "join-agg":
+        raise ValueError(f"unknown kernel {kernel!r}")
+
+    # one-time layout decision — the Spark analog of DISTRIBUTE_DATA
+    # (tuned_variant_baseline.c:247-324): co-partition edges on the join key
+    # once; every superstep's join reuses this exchange and only the rank
+    # frontier shuffles
+    edges = edges.repartition(partitions, "src").persist()
+    vertices = vertices.select(id_col).persist()
+    n = vertices.count()
     if n == 0:
         raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
+    dangling = _dangling_of(vertices, edges, id_col).persist()
     nnz = edges.count()
 
-    start_iter = 0
-    ranks = None
-    if checkpointer is not None:
-        resumed = checkpointer.resume()
-        if resumed is not None:
-            start_iter, ranks = resumed
-    if ranks is None:
-        # x0 = 1/m uniform (pagerank.c:238; helper.c:79-84)
-        ranks = vertices.withColumn("pr", F.lit(1.0 / n))
-    ranks = ranks.localCheckpoint(eager=True)
-
-    k = fixed_iters if fixed_iters is not None else max_iter
-    deltas: list[float] = []
-    metrics: list[dict[str, Any]] = []
-    converged = False
-
-    for it in range(start_iter, k):
-        t0 = time.monotonic()
-        # dangling mass: Σ rank over vertices with outdeg 0 — a |dangling|-row
-        # scalar agg, never a collect of the rank vector
-        dm_row = ranks.join(dangling, id_col, "left_semi").agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0))
-        ).collect()
-        dangling_mass = dm_row[0][0]
-
-        # SpMV gather-scatter: join on src (only ranks shuffle — edges are
-        # cached pre-partitioned on src), partial+final sum by dst
-        contribs = (
+    def step(ranks: DataFrame) -> DataFrame:
+        return (
             edges.join(ranks.withColumnRenamed(id_col, "src"), "src", "inner")
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.sum(F.col("weight") * F.col("pr")).alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
-        new_ranks = (
-            vertices.join(contribs, id_col, "left")
-            .select(
-                id_col,
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("pr"),
-            )
-        )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
 
-        delta = (
-            new_ranks.withColumnRenamed("pr", "pr_new")
-            .join(ranks, id_col)
-            .agg(F.sum(F.abs(F.col("pr_new") - F.col("pr"))))
-            .collect()[0][0]
+    try:
+        return _iterate(
+            vertices,
+            id_col,
+            step,
+            dangling,
+            n,
+            nnz,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            fixed_iters=fixed_iters,
+            partitions=partitions,
+            checkpointer=checkpointer,
         )
-        deltas.append(float(delta))
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        row = {
-            "superstep": it,
-            "l1_delta": float(delta),
-            "edges_processed": int(nnz),
-            "wall_ms": wall_ms,
-            "dangling_mass": float(dangling_mass),
-            "n_partitions": partitions,
-        }
-        metrics.append(row)
-        if checkpointer is not None:
-            checkpointer.save(it, new_ranks, row)
-        ranks = new_ranks
-        if fixed_iters is None and delta <= tol:
-            converged = True
-            break
-
-    edges.unpersist()
-    dangling.unpersist()
-    return PageRankResult(
-        ranks=ranks, iterations=len(deltas) + start_iter, converged=converged,
-        deltas=deltas, metrics=metrics,
-    )
+    finally:
+        edges.unpersist()
+        dangling.unpersist()
+        vertices.unpersist()
