@@ -21,7 +21,10 @@ from pagerank_optimization_spark.operators.graph_build import build_graph, out_d
 from pagerank_optimization_spark.operators.pagerank import pagerank
 from pagerank_optimization_spark.operators.triangles import triangle_count
 from pagerank_optimization_spark.plans import oracle_sql as osql
+from pagerank_optimization_spark.plans import oracle_sql_docs as osql_docs
 from pagerank_optimization_spark.sources.transcripts import transcripts_from_events
+
+EMB_QUERY_IDS = [0, 7, 42]
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -73,14 +76,111 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
+def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.functions.text import (
+        mean_word_len_expr,
+        punct_ratio_expr,
+        token_count_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("n_tok"),
+        F.round(mean_word_len_expr(F.col("text")), 6).alias("mean_word_len"),
+        F.round(punct_ratio_expr(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def _q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+
+
+def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, EMB_QUERY_IDS, k=10)
+
+
+# --- rows-only queries (hash-based / UDF-backed: no portable SQL twin) ------
+
+
+def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def _q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.functions.text import (
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(spark, 300, seed=42))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # graph suite (oracle-checked)
         "transcripts_derived": _q_transcripts,
         "graph_edges": _q_edges,
         "graph_outdegree": _q_outdegree,
         "graph_pagerank_k5": _q_pagerank_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
+        # documents / embeddings pipeline (oracle-checked)
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        # hash-based / UDF-backed (rows-only driver check; pytest oracles)
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_lang_quality": _q_docs_lang_quality,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "media_features": _q_media_features,
     }
 
 
@@ -92,4 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_k5": osql.pagerank_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
+        "docs_token_stats": osql_docs.docs_token_stats_sql(),
+        "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
+        "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),
+        "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
     }

@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries on $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under local[$SPARK_GRAFT_CPUS], mirroring the
+reference's timer harness (timer_op.c): fixed k0=10 PageRank supersteps
+(op_dispatch_vars.sh:31 SCALE_K=-10), throughput in edges processed per
+second per superstep (the reference counts 2 FLOPs/edge/iteration,
+timer_op.c:284-289 — edges/sec = GFLOP/s × 5e8).
+
+Extra fields beyond the required {metric, value, unit, queries, sf}:
+``edges_per_sec_per_superstep`` for the two kernels, graph dims, and a
+``synth`` section measuring the same kernels on a larger deterministic
+synthesized transcript graph (the sf tables' derived graph is small enough
+that per-superstep scheduling overhead dominates; the synth graph shows
+compute-bound throughput). Progress goes to stderr; stdout carries exactly
+one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    synth_conv = int(os.environ.get("BENCH_SYNTH_CONV", "40000"))
+    k0 = 10
+
+    from pyspark.sql import functions as F
+
+    from pagerank_optimization_spark.operators.components import connected_components
+    from pagerank_optimization_spark.operators.graph_build import build_graph
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+    from pagerank_optimization_spark.operators.pagerank import pagerank
+    from pagerank_optimization_spark.operators.triangles import triangle_count
+    from pagerank_optimization_spark.session import get_spark
+    from pagerank_optimization_spark.sources.transcripts import (
+        synthesize_transcripts,
+        transcripts_from_events,
+    )
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        queries[name] = round(dt, 3)
+        log(f"{name}: {dt:.2f}s")
+        return out
+
+    # --- sf-table graph -----------------------------------------------------
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0_all = time.monotonic()
+
+    def _build():
+        v, e = build_graph(transcripts_from_events(events))
+        v, e = v.persist(), e.persist()
+        return v, e, v.count(), e.count()
+
+    vertices, edges, n_v, n_e = timed("graph_build", _build)
+    extra["graph"] = {"vertices": n_v, "edges": n_e}
+
+    res_ja = timed("pagerank_k10_joinagg", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus))
+    queries_sec = queries["pagerank_k10_joinagg"]
+    extra["edges_per_sec_per_superstep_joinagg"] = round(n_e * k0 / queries_sec)
+
+    timed("pagerank_k10_csr", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
+    extra["edges_per_sec_per_superstep_csr"] = round(n_e * k0 / queries["pagerank_k10_csr"])
+
+    res_conv = timed("pagerank_converged", lambda: pagerank(vertices, edges, tol=1e-6, max_iter=100, partitions=cpus))
+    extra["iterations_to_1e-6"] = res_conv.iterations
+
+    timed("connected_components", lambda: connected_components(vertices, edges, partitions=cpus).count())
+    timed("label_propagation_r5", lambda: label_propagation(vertices, edges, rounds=5, partitions=cpus).count())
+    timed("triangle_count", lambda: triangle_count(edges).collect())
+
+    # --- synthesized large graph (compute-bound regime) ---------------------
+    def _synth():
+        tr = synthesize_transcripts(spark, synth_conv, seed=42)
+        v, e = build_graph(tr)
+        v, e = v.persist(), e.persist()
+        return v, e, v.count(), e.count()
+
+    sv, se, s_nv, s_ne = timed("synth_graph_build", _synth)
+    extra["synth_graph"] = {"n_conv": synth_conv, "vertices": s_nv, "edges": s_ne}
+    timed("synth_pagerank_k10_joinagg", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus))
+    extra["synth_edges_per_sec_per_superstep_joinagg"] = round(s_ne * k0 / queries["synth_pagerank_k10_joinagg"])
+    timed("synth_pagerank_k10_csr", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
+    extra["synth_edges_per_sec_per_superstep_csr"] = round(s_ne * k0 / queries["synth_pagerank_k10_csr"])
+
+    total = time.monotonic() - t0_all
+    out = {
+        "metric": "total wall seconds, headline link-graph suite (PageRank k10 both kernels, converged PageRank, CC, LPA, triangles) on transcript graph derived from events",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

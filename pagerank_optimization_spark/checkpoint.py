@@ -94,8 +94,8 @@ class CheckpointManager:
         row["wall_clock"] = time.time()
         self.spark.createDataFrame([json.dumps(row)], "string").selectExpr(
             "from_json(value, 'superstep INT, l1_delta DOUBLE, edges_processed BIGINT, "
-            "wall_ms DOUBLE, dangling_mass DOUBLE, n_partitions INT, run_id STRING, "
-            "wall_clock DOUBLE') AS r"
+            "wall_ms DOUBLE, dangling_mass DOUBLE, dangling_mass_next DOUBLE, "
+            "n_partitions INT, run_id STRING, wall_clock DOUBLE') AS r"
         ).select("r.*").write.mode("append").parquet(self._metrics_path)
 
     # -- read side ----------------------------------------------------------
@@ -106,6 +106,15 @@ class CheckpointManager:
             return None
         row = m.agg(F.max("superstep")).collect()[0]
         return None if row[0] is None else int(row[0])
+
+    def last_metrics(self) -> dict[str, Any] | None:
+        """Metrics row of the max complete superstep (for bitwise-exact
+        restoration of loop-carried scalars like the dangling mass)."""
+        last = self.last_complete_superstep()
+        if last is None:
+            return None
+        rows = self.metrics().filter(F.col("superstep") == last).collect()
+        return rows[0].asDict() if rows else None
 
     def resume(self) -> tuple[int, DataFrame] | None:
         """→ (next_superstep, ranks_after_last_complete) or None (fresh)."""

@@ -84,10 +84,41 @@ def _iterate(
         resumed = checkpointer.resume()
         if resumed is not None:
             start_iter, ranks = resumed
-    if ranks is None:
+    fresh = ranks is None
+    if fresh:
         # x0 = 1/m uniform (pagerank.c:238; helper.c:79-84)
         ranks = vertices.withColumn("pr", F.lit(1.0 / n))
     ranks = canonical(ranks).localCheckpoint(eager=True)
+
+    # dangling mass for the FIRST superstep: uniform x0 gives |D|/n exactly;
+    # on resume, one |D|-row scalar agg. Every later superstep folds the
+    # next dangling mass into the same single action as the delta — ONE
+    # driver-side scalar job per superstep, never a collect of the vector.
+    n_dangling = dangling.count()
+    if fresh:
+        dangling_mass = n_dangling / n
+    else:
+        # prefer the bitwise-exact value recorded by the interrupted run
+        # (recomputing the sum here could differ in the last ulp — sum order)
+        saved = checkpointer.last_metrics() if checkpointer is not None else None
+        if saved is not None and saved.get("dangling_mass_next") is not None:
+            dangling_mass = float(saved["dangling_mass_next"])
+        else:
+            dangling_mass = (
+                ranks.join(dangling, id_col, "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+    # vertex table with the dangling flag baked in (computed once): the
+    # per-superstep plan is then ONE co-partitioned join chain — no separate
+    # delta/dangling job ever touches the vector again
+    vertices_flagged = (
+        vertices.join(dangling.withColumn("is_dangling", F.lit(True)), id_col, "left")
+        .select(id_col, F.coalesce(F.col("is_dangling"), F.lit(False)).alias("is_dangling"))
+        .repartition(partitions, id_col)
+        .persist()
+    )
+    vertices_flagged.count()
 
     k = fixed_iters if fixed_iters is not None else max_iter
     deltas: list[float] = []
@@ -96,29 +127,37 @@ def _iterate(
 
     for it in range(start_iter, k):
         t0 = time.monotonic()
-        # dangling mass: Σ rank over vertices with outdeg 0 — a |dangling|-row
-        # scalar agg, never a collect of the rank vector
-        dangling_mass = (
-            ranks.join(dangling, id_col, "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contribs = step_fn(ranks)
+        contribs = step_fn(ranks.select(id_col, "pr"))
         base = (1.0 - damping) / n + damping * dangling_mass / n
-        new_ranks = vertices.join(contribs, id_col, "left").select(
+        # NOTE superstep plan-shape invariant: the state df (``ranks``) is
+        # referenced exactly ONCE in the update query (inside step_fn), and
+        # the delta query joins two DISTINCT checkpoints. A plan that joins
+        # the state df directly alongside an aggregate derived from it makes
+        # Spark's self-join deduplication re-expand the checkpointed lineage
+        # and per-superstep cost compounds ~2× per iteration (measured; see
+        # tests/test_iteration_scaling.py).
+        new_ranks = vertices_flagged.join(contribs, id_col, "left").select(
             id_col,
             (
                 F.lit(base)
                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("pr"),
+            "is_dangling",
         )
         new_ranks = canonical(new_ranks).localCheckpoint(eager=True)
 
-        delta = (
-            new_ranks.withColumnRenamed("pr", "pr_new")
-            .join(ranks, id_col)
-            .agg(F.sum(F.abs(F.col("pr_new") - F.col("pr"))))
-            .collect()[0][0]
+        # delta + next dangling mass in one scalar job over the two most
+        # recent checkpoints (each referenced once)
+        delta, next_dm = (
+            new_ranks.join(ranks.select(id_col, F.col("pr").alias("pr_old")), id_col)
+            .agg(
+                F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_dangling"), F.col("pr")).otherwise(F.lit(0.0))),
+                    F.lit(0.0),
+                ).alias("dm"),
+            )
+            .collect()[0]
         )
         deltas.append(float(delta))
         row = {
@@ -127,18 +166,21 @@ def _iterate(
             "edges_processed": int(nnz),
             "wall_ms": (time.monotonic() - t0) * 1000.0,
             "dangling_mass": float(dangling_mass),
+            "dangling_mass_next": float(next_dm),
             "n_partitions": partitions,
         }
         metrics.append(row)
         if checkpointer is not None:
-            checkpointer.save(it, new_ranks, row)
+            checkpointer.save(it, new_ranks.select(id_col, "pr"), row)
         ranks = new_ranks
+        dangling_mass = float(next_dm)
         if fixed_iters is None and delta <= tol:
             converged = True
             break
 
+    vertices_flagged.unpersist()
     return PageRankResult(
-        ranks=ranks,
+        ranks=ranks.select(id_col, "pr"),
         iterations=len(deltas) + start_iter,
         converged=converged,
         deltas=deltas,
@@ -201,7 +243,10 @@ def pagerank(
     # once; every superstep's join reuses this exchange and only the rank
     # frontier shuffles
     edges = edges.repartition(partitions, "src").persist()
-    vertices = vertices.select(id_col).persist()
+    # vertices co-partitioned with the canonical rank layout: the
+    # per-superstep left join (restore zero-contribution vertices, P2 of
+    # SURVEY §2.2) then never re-shuffles the vertex side
+    vertices = vertices.select(id_col).repartition(partitions, id_col).persist()
     n = vertices.count()
     if n == 0:
         raise ValueError("pagerank: empty vertex set (no entities derivable from input)")

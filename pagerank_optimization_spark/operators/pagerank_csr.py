@@ -174,7 +174,7 @@ def pagerank_csr(
     blocks.count()
     nnz = vid_edges.count()
 
-    vid_vertices = ids.select("vid")
+    vid_vertices = ids.select("vid").repartition(partitions, "vid").persist()
     dangling = _dangling_of(vid_vertices, vid_edges, "vid").persist()
     step = make_csr_step(blocks, partitions)
 

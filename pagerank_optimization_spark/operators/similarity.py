@@ -1,0 +1,290 @@
+"""Similarity search over an embedding column (array<float>) — ANN for
+training-data pipelines (semantic dedup, retrieval filtering).
+
+Two paths:
+
+- ``cosine_topk``      exact brute force: query×corpus cross-join pruned to
+                       the query set, dot product via ``F.zip_with`` +
+                       ``F.aggregate`` (JVM-side, no UDF), top-k per query
+                       with a window — the correctness baseline, and
+                       SQL-expressible for the DuckDB oracle.
+- ``lsh_topk``         random-hyperplane LSH: deterministic hash-derived
+                       hyperplanes (no RNG state), sign-bit bucket join,
+                       exact re-rank within buckets (multi-probe over all
+                       bit-flips at Hamming distance ≤ 1). Sub-quadratic —
+                       the 100 TB path; recall measured against the exact
+                       baseline in tests.
+- ``embedding_neardup_pairs``  all-pairs cosine ≥ τ (semantic dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vectors(embeddings: DataFrame, *, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize to unit length (cosine ≡ dot product afterwards).
+    Double precision — float32 storage is fine, float32 math is not."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return embeddings.withColumn(
+        "unit", F.transform(dvec, lambda x: x / F.greatest(_norm(dvec), F.lit(1e-12)))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id:
+    → (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    The query side is tiny → broadcast; the corpus never shuffles for the
+    join, only for the per-query top-k window (partitionBy query_id)."""
+    uni = with_unit_vectors(embeddings, vec_col=vec_col)
+    corpus = uni.select(F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"))
+    queries = uni.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("qu"), F.col("cu")), 8).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from a hash — no RNG
+    state, same planes on driver and in tests."""
+    import numpy as np
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hash((seed, p, d)) & 0xFFFFFFFF
+            # splitmix-style scramble for better bit diffusion than hash()
+            h = (h * 2654435761) & 0xFFFFFFFF
+            row.append(1.0 if (h >> 16) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``bucket`` (int: sign-bit signature over n_planes deterministic
+    hyperplanes). Pure column expressions — the dot products against the
+    constant planes are literal-array zip_with sums, codegen'd."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(dvec, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), i)
+        bucket = term if bucket is None else bucket + term
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (or any
+    bucket at Hamming distance 1 when ``multiprobe``), exact cosine re-rank
+    inside. → same schema as cosine_topk."""
+    uni = with_lsh_bucket(embeddings, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    uni = with_unit_vectors(uni, vec_col=vec_col)
+    corpus = uni.select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"), F.col("bucket").alias("cb")
+    )
+    queries = uni.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu"), F.col("bucket").alias("qb")
+    )
+    if multiprobe:
+        probes = F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        queries = queries.select("query_id", "qu", F.explode(probes).alias("qb"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("cb") == F.col("qb"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_dot("qu", "cu"), 8).alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means over unit vectors with
+    hash-ordered initialization (no RNG state) and ``iters`` Lloyd rounds —
+    each round one broadcast-join + groupBy (assignment is a literal-array
+    argmin, means are per-dimension aggregates). Centroids are tiny and
+    live on the driver, like the rank-loop scalars."""
+    import numpy as np
+
+    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
+    # deterministic seeds: the n_centroids vectors with smallest xxhash64(id)
+    seeds = (
+        uni.withColumn("h", F.xxhash64(F.col(id_col)))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("unit")
+        .collect()
+    )
+    cents = np.array([r.unit for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = _assign_centroid(uni, cents).select("cid", "unit")
+        sums = assigned.groupBy("cid").agg(
+            F.array(*[F.sum(F.col("unit")[i]) for i in range(cents.shape[1])]).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()
+        new = cents.copy()
+        for r in sums:
+            v = np.array(r.s, dtype=np.float64) / r.n
+            nv = np.linalg.norm(v)
+            if nv > 1e-12:
+                new[r.cid] = v / nv
+        cents = new
+    uni.unpersist()
+    return cents.tolist()
+
+
+def _assign_centroid(uni: DataFrame, cents) -> DataFrame:
+    """Adds cid = argmin centroid (max dot on unit vectors) via a literal
+    array of centroid structs — pure codegen'd expressions."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(F.col("unit"), F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+    best_sim = F.array_max(F.transform(scored, lambda s: s["sim"]))
+    cid = F.array_min(
+        F.transform(F.filter(scored, lambda s: s["sim"] == best_sim), lambda s: s["cid"])
+    )
+    return uni.withColumn("cid", cid)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus inverted-listed by nearest centroid
+    (computed once, reusable), queries probe their ``nprobe`` nearest
+    centroids, exact cosine re-rank inside the probed lists. Same schema as
+    cosine_topk. The 100 TB path: per-query work is corpus/|C|·nprobe."""
+    import numpy as np
+
+    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col))
+    uni = with_unit_vectors(embeddings, vec_col=vec_col)
+    corpus = _assign_centroid(uni.select(F.col(id_col), "unit"), cents).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"), F.col("cid").alias("ccid")
+    )
+    qrows = uni.filter(F.col(id_col).isin(query_ids)).select(id_col, "unit").collect()
+    probe_rows = []
+    for r in qrows:
+        sims = cents @ np.array(r.unit, dtype=np.float64)
+        for cid in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((r[id_col], [float(x) for x in r.unit], int(cid)))
+    spark = embeddings.sparkSession
+    queries = spark.createDataFrame(
+        probe_rows, f"query_id long, qu array<double>, qcid int"
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("ccid") == F.col("qcid"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_dot("qu", "cu"), 8).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Semantic near-duplicate pairs: → (a, b, cosine ≥ threshold), a < b.
+    ``exact=True`` does the full O(n²) self-join (oracle baseline);
+    otherwise candidates are restricted to same-LSH-bucket pairs."""
+    uni = with_unit_vectors(embeddings, vec_col=vec_col)
+    if not exact:
+        uni = with_lsh_bucket(uni, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    left = uni.select(
+        F.col(id_col).alias("a"),
+        F.col("unit").alias("ua"),
+        *([] if exact else [F.col("bucket").alias("ba")]),
+    )
+    right = uni.select(
+        F.col(id_col).alias("b"),
+        F.col("unit").alias("ub"),
+        *([] if exact else [F.col("bucket").alias("bb")]),
+    )
+    joined = left.join(right, F.col("a") < F.col("b")) if exact else left.join(
+        right, (F.col("ba") == F.col("bb")) & (F.col("a") < F.col("b"))
+    )
+    return (
+        joined.select("a", "b", F.round(_dot("ua", "ub"), 8).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,95 @@
+"""Dedup operator tests: exact dedup + n-gram Jaccard vs a python oracle;
+MinHash-LSH and SimHash property-tested (identical → found with max score,
+near-dup → found, disjoint → absent)."""
+
+import pytest
+
+from pagerank_optimization_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the tall green tree and birds sing in the morning sun near the river"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-word change
+DISJOINT = (
+    "quantum flux capacitors resonate with ionized plasma streams across "
+    "stellar magnetospheres during solar wind acceleration events yesterday"
+)
+
+DOCS = [
+    (0, BASE),
+    (1, BASE),                      # exact duplicate of 0
+    (2, "  The  quick brown fox jumps over the lazy dog while the cat watches from the tall green tree and birds sing in the morning sun near the river!! "),  # formatting dup of 0
+    (3, NEAR),                      # near duplicate
+    (4, DISJOINT),                  # unrelated
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _py_shingles(text, k=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard(a, b, k=3):
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: (r.canonical_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert out[3] == (3, 1) and out[4] == (4, 1)
+
+
+def test_ngram_jaccard_matches_python(docs):
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    rows = dict(DOCS)
+    # oracle: all pairs with jaccard >= 0.3 (doc 2 normalizes differently —
+    # engine tokenizes raw text, so "!!": compute expected from raw tokens)
+    expected = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            j = _py_jaccard(rows[a], rows[b])
+            if j >= 0.3:
+                expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert abs(got[pair] - j) < 1e-6
+
+
+def test_minhash_lsh_properties(docs):
+    pairs = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0           # identical docs: all permutations agree
+    assert (0, 3) in pairs                # near-dup found
+    assert pairs[(0, 3)] > 0.5
+    assert not any(4 in p for p in pairs)  # disjoint doc never paired
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(minhash_lsh_pairs(docs, threshold=0.4).collect())
+    b = sorted(minhash_lsh_pairs(docs, threshold=0.4).collect())
+    assert a == b
+
+
+def test_simhash_properties(docs):
+    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0             # identical text → identical simhash
+    assert (0, 3) in pairs and pairs[(0, 3)] <= 8
+    assert not any(4 in p for p in pairs)
+
+
+def test_dedup_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = exact_dedup(docs).collect()
+    assert len(out) == docs.count()
+    assert all(r.canonical_id <= r.doc_id for r in out)
