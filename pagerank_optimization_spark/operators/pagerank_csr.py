@@ -158,7 +158,9 @@ def pagerank_csr(
     """
     from pagerank_optimization_spark.operators.pagerank import PageRankResult, _dangling_of, _iterate
 
-    ids = vertex_ids(vertices).persist()
+    # normalize the external id column to 'entity' for the vid mapping
+    # (works for string entities and for already-numeric ids alike)
+    ids = vertex_ids(vertices.select(F.col(id_col).alias("entity"))).persist()
     n = ids.count()
     if n == 0:
         raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
