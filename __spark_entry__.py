@@ -21,6 +21,7 @@ from pagerank_optimization_spark.operators.graph_build import build_graph, out_d
 from pagerank_optimization_spark.operators.pagerank import pagerank
 from pagerank_optimization_spark.operators.triangles import triangle_count
 from pagerank_optimization_spark.plans import oracle_sql as osql
+from pagerank_optimization_spark.operators import sessions as _sessions
 from pagerank_optimization_spark.plans import oracle_sql_docs as osql_docs
 from pagerank_optimization_spark.sources.transcripts import transcripts_from_events
 
@@ -115,6 +116,18 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only queries (hash-based / UDF-backed: no portable SQL twin) ------
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800)
+
+
 def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.dedup import minhash_lsh_pairs
 
@@ -175,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
+        "events_sessionize": _q_events_sessionize,
+        "events_session_stats": _q_events_session_stats,
         # hash-based / UDF-backed (rows-only driver check; pytest oracles)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -196,4 +211,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),
         "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
+        "events_sessionize": _sessions.sessionize_sql(1800),
+        "events_session_stats": _sessions.session_stats_sql(1800),
     }

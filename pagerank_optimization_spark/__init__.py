@@ -17,4 +17,5 @@ Layout
 
 __version__ = "0.1.0"
 
+from pagerank_optimization_spark.graph import LinkGraph  # noqa: F401
 from pagerank_optimization_spark.session import get_spark  # noqa: F401

@@ -57,20 +57,24 @@ def connected_components(
     sym.count()
     labels = vertices.select("entity", F.col("entity").alias("lbl")).localCheckpoint(eager=True)
 
+    from pagerank_optimization_spark.session import iterative_conf
+
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
-    for _ in range(rounds):
-        new_labels = _step(labels, sym).localCheckpoint(eager=True)
-        if fixed_rounds is None:
-            changed = (
-                new_labels.withColumnRenamed("lbl", "new_lbl")
-                .join(labels, "entity")
-                .filter(F.col("new_lbl") != F.col("lbl"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+    with iterative_conf(spark):
+        for _ in range(rounds):
+            if fixed_rounds is None:
+                # lazy checkpoint — materialized by the changed-count job
+                new_labels = _step(labels, sym).localCheckpoint(eager=False)
+                changed = (
+                    new_labels.withColumnRenamed("lbl", "new_lbl")
+                    .join(labels, "entity")
+                    .filter(F.col("new_lbl") != F.col("lbl"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    break
+            else:
+                labels = _step(labels, sym).localCheckpoint(eager=True)
     sym.unpersist()
     return labels.withColumnRenamed("lbl", "component")

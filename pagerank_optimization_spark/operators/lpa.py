@@ -29,24 +29,27 @@ def label_propagation(
     sym.count()
     labels = vertices.select("entity", F.col("entity").alias("label")).localCheckpoint(eager=True)
 
-    for _ in range(rounds):
-        # gather neighbor labels, count per (vertex, label), pick argmax with
-        # min-label tie-break via one window (count desc, label asc)
-        neigh = (
-            sym.join(labels.withColumnRenamed("entity", "b"), "b", "inner")
-            .groupBy(F.col("a").alias("entity"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        w = W.partitionBy("entity").orderBy(F.desc("cnt"), F.asc("label"))
-        best = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("entity", F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(best, "entity", "left")
-            .select("entity", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(spark):
+        for _ in range(rounds):
+            # gather neighbor labels, count per (vertex, label), pick argmax with
+            # min-label tie-break via one window (count desc, label asc)
+            neigh = (
+                sym.join(labels.withColumnRenamed("entity", "b"), "b", "inner")
+                .groupBy(F.col("a").alias("entity"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            w = W.partitionBy("entity").orderBy(F.desc("cnt"), F.asc("label"))
+            best = (
+                neigh.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("entity", F.col("label").alias("new_label"))
+            )
+            labels = (
+                labels.join(best, "entity", "left")
+                .select("entity", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
     sym.unpersist()
     return labels

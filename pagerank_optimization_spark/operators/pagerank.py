@@ -125,58 +125,63 @@ def _iterate(
     metrics: list[dict[str, Any]] = []
     converged = False
 
-    for it in range(start_iter, k):
-        t0 = time.monotonic()
-        contribs = step_fn(ranks.select(id_col, "pr"))
-        base = (1.0 - damping) / n + damping * dangling_mass / n
-        # NOTE superstep plan-shape invariant: the state df (``ranks``) is
-        # referenced exactly ONCE in the update query (inside step_fn), and
-        # the delta query joins two DISTINCT checkpoints. A plan that joins
-        # the state df directly alongside an aggregate derived from it makes
-        # Spark's self-join deduplication re-expand the checkpointed lineage
-        # and per-superstep cost compounds ~2× per iteration (measured; see
-        # tests/test_iteration_scaling.py).
-        new_ranks = vertices_flagged.join(contribs, id_col, "left").select(
-            id_col,
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
-            "is_dangling",
-        )
-        new_ranks = canonical(new_ranks).localCheckpoint(eager=True)
+    from pagerank_optimization_spark.session import iterative_conf
 
-        # delta + next dangling mass in one scalar job over the two most
-        # recent checkpoints (each referenced once)
-        delta, next_dm = (
-            new_ranks.join(ranks.select(id_col, F.col("pr").alias("pr_old")), id_col)
-            .agg(
-                F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("pr")).otherwise(F.lit(0.0))),
-                    F.lit(0.0),
-                ).alias("dm"),
+    with iterative_conf(vertices.sparkSession):
+        for it in range(start_iter, k):
+            t0 = time.monotonic()
+            contribs = step_fn(ranks.select(id_col, "pr"))
+            base = (1.0 - damping) / n + damping * dangling_mass / n
+            # NOTE superstep plan-shape invariant: the state df (``ranks``) is
+            # referenced exactly ONCE in the update query (inside step_fn), and
+            # the delta query joins two DISTINCT checkpoints. A plan that joins
+            # the state df directly alongside an aggregate derived from it makes
+            # Spark's self-join deduplication re-expand the checkpointed lineage
+            # and per-superstep cost compounds ~2× per iteration (measured; see
+            # tests/test_iteration_scaling.py).
+            new_ranks = vertices_flagged.join(contribs, id_col, "left").select(
+                id_col,
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+                "is_dangling",
             )
-            .collect()[0]
-        )
-        deltas.append(float(delta))
-        row = {
-            "superstep": it,
-            "l1_delta": float(delta),
-            "edges_processed": int(nnz),
-            "wall_ms": (time.monotonic() - t0) * 1000.0,
-            "dangling_mass": float(dangling_mass),
-            "dangling_mass_next": float(next_dm),
-            "n_partitions": partitions,
-        }
-        metrics.append(row)
-        if checkpointer is not None:
-            checkpointer.save(it, new_ranks.select(id_col, "pr"), row)
-        ranks = new_ranks
-        dangling_mass = float(next_dm)
-        if fixed_iters is None and delta <= tol:
-            converged = True
-            break
+            # lazy checkpoint: materialized by the delta agg below — ONE Spark
+            # job per superstep instead of two
+            new_ranks = canonical(new_ranks).localCheckpoint(eager=False)
+
+            # delta + next dangling mass in one scalar job over the two most
+            # recent checkpoints (each referenced once)
+            delta, next_dm = (
+                new_ranks.join(ranks.select(id_col, F.col("pr").alias("pr_old")), id_col)
+                .agg(
+                    F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("delta"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling"), F.col("pr")).otherwise(F.lit(0.0))),
+                        F.lit(0.0),
+                    ).alias("dm"),
+                )
+                .collect()[0]
+            )
+            deltas.append(float(delta))
+            row = {
+                "superstep": it,
+                "l1_delta": float(delta),
+                "edges_processed": int(nnz),
+                "wall_ms": (time.monotonic() - t0) * 1000.0,
+                "dangling_mass": float(dangling_mass),
+                "dangling_mass_next": float(next_dm),
+                "n_partitions": partitions,
+            }
+            metrics.append(row)
+            if checkpointer is not None:
+                checkpointer.save(it, new_ranks.select(id_col, "pr"), row)
+            ranks = new_ranks
+            dangling_mass = float(next_dm)
+            if fixed_iters is None and delta <= tol:
+                converged = True
+                break
 
     vertices_flagged.unpersist()
     return PageRankResult(

@@ -1,0 +1,91 @@
+"""Sessionization over the events stream table — gap-based session ids via
+window lag + conditional cumsum (the standard Spark idiom; fully
+SQL-expressible, so DuckDB-oracle-checked).
+
+A session is a maximal run of a user's events with inter-event gaps below
+``gap_seconds``. Output is deterministic: session_seq numbers sessions per
+user in time order; ties broken by event_id (total order)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """→ events + (session_seq, session_id). One shuffle (by user_id)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct double cast in Spark 4; unix_micros over a
+    # session-UTC cast matches DuckDB's epoch_us on the naive timestamp
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    df = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+    )
+    df = df.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "session_seq",
+        F.concat_ws("-", F.col("user_id").cast("string"), F.col("session_seq").cast("string")).alias(
+            "session_id"
+        ),
+    )
+
+
+def session_stats(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """Per-session aggregates: → (session_id, user_id, n_events,
+    duration_s, total_value)."""
+    s = sessionize(events, gap_seconds=gap_seconds)
+    joined = events.select("event_id", "ts", "value").join(s, "event_id")
+    return joined.groupBy("session_id", "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)),
+            3,
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def sessionize_sql(gap_seconds: int = 1800) -> str:
+    """DuckDB twin of sessionize() over the registered ``events`` view."""
+    # epoch_us/1e6 ⇄ Spark's ts.cast(double): microsecond-precision
+    # float seconds on both sides; the cumsum window ordering (ts, event_id)
+    # must match Spark's exactly or session numbering drifts on ties
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w IS NULL
+                OR epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT event_id, user_id, session_seq,
+       concat(CAST(user_id AS VARCHAR), '-', CAST(session_seq AS VARCHAR)) AS session_id
+FROM s
+"""
+
+
+def session_stats_sql(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH sess AS ({sessionize_sql(gap_seconds)})
+SELECT s.session_id, s.user_id,
+       count(*) AS n_events,
+       round(max(epoch_us(e.ts)/1000000.0) - min(epoch_us(e.ts)/1000000.0), 3) AS duration_s,
+       round(sum(e.value), 6) AS total_value
+FROM sess s JOIN events e ON s.event_id = e.event_id
+GROUP BY s.session_id, s.user_id
+"""

@@ -9,8 +9,25 @@ cluster via spark-submit where master/memory come from the environment.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def iterative_conf(spark: SparkSession):
+    """Conf scope for fixed-shape iterative loops (PageRank/CC/LPA
+    supersteps): AQE's per-stage adaptive re-planning is pure scheduling
+    overhead when every superstep has the same plan over the same sizes —
+    measured 2.2× per-superstep latency at local scale. Restored on exit;
+    one-shot analytical queries keep AQE (skew-join, coalescing)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
