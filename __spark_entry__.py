@@ -77,6 +77,13 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
+def _q_lpa_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return label_propagation(vertices, wedges, rounds=4)
+
+
 def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
         mean_word_len_expr,
@@ -183,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_k5": _q_pagerank_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
+        "graph_lpa_r4": _q_lpa_r4,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -207,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_k5": osql.pagerank_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
+        "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),

@@ -212,6 +212,7 @@ def pagerank(
     fixed_iters: int | None = None,
     partitions: int | None = None,
     kernel: str = "join-agg",
+    hub_split_degree: int | None = None,
     checkpointer=None,
 ) -> PageRankResult:
     """Damped PageRank with dangling redistribution over weighted edges
@@ -222,6 +223,11 @@ def pagerank(
     ``fixed_iters`` runs exactly K supersteps (oracle mode — matches the
     reference's fixed k0, tuned_variant_baseline.c:120); otherwise iterate
     to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks"}.
+
+    ``hub_split_degree``: enable degree-based edge splitting for power-law
+    in-degree hubs (join-agg kernel only): destinations with in-degree
+    above the threshold aggregate in two phases over deterministic salts
+    (plans.partitioning) — identical results, bounded per-key reduce work.
     """
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
@@ -247,6 +253,10 @@ def pagerank(
     # (tuned_variant_baseline.c:247-324): co-partition edges on the join key
     # once; every superstep's join reuses this exchange and only the rank
     # frontier shuffles
+    if hub_split_degree is not None:
+        from pagerank_optimization_spark.plans.partitioning import with_degree_salt
+
+        edges = with_degree_salt(edges, max_deg=hub_split_degree)
     edges = edges.repartition(partitions, "src").persist()
     # vertices co-partitioned with the canonical rank layout: the
     # per-superstep left join (restore zero-contribution vertices, P2 of
@@ -258,12 +268,17 @@ def pagerank(
     dangling = _dangling_of(vertices, edges, id_col).persist()
     nnz = edges.count()
 
-    def step(ranks: DataFrame) -> DataFrame:
-        return (
-            edges.join(ranks.withColumnRenamed(id_col, "src"), "src", "inner")
-            .groupBy(F.col("dst").alias(id_col))
-            .agg(F.sum(F.col("weight") * F.col("pr")).alias("contrib"))
-        )
+    if hub_split_degree is not None:
+        from pagerank_optimization_spark.plans.partitioning import salted_pagerank_step
+
+        step = salted_pagerank_step(edges, id_col)
+    else:
+        def step(ranks: DataFrame) -> DataFrame:
+            return (
+                edges.join(ranks.withColumnRenamed(id_col, "src"), "src", "inner")
+                .groupBy(F.col("dst").alias(id_col))
+                .agg(F.sum(F.col("weight") * F.col("pr")).alias("contrib"))
+            )
 
     try:
         return _iterate(

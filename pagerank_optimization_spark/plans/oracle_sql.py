@@ -164,6 +164,45 @@ c{i} AS {m}(
     )
 
 
+def lpa_query_sql(rounds: int = 4, dialect: str = "duckdb") -> str:
+    """Unrolled synchronous label propagation: most-frequent neighbor label,
+    ties broken by min label, keep own label when no neighbors — the exact
+    operators.lpa semantics."""
+    m = _mat(dialect)
+    steps = [
+        f"""sym AS {m}(
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+)""",
+        f"l0 AS {m}(SELECT entity, entity AS label FROM vertices)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+nb{i} AS {m}(
+  SELECT s.a AS entity, c.label AS label, count(*) AS cnt
+  FROM sym s JOIN l{p} c ON s.b = c.entity
+  GROUP BY s.a, c.label
+),
+best{i} AS {m}(
+  SELECT entity, label FROM (
+    SELECT entity, label,
+           row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, label ASC) AS rn
+    FROM nb{i}
+  ) r WHERE rn = 1
+),
+l{i} AS {m}(
+  SELECT v.entity, coalesce(b.label, v.label) AS label
+  FROM l{p} v LEFT JOIN best{i} b ON v.entity = b.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, label FROM l{rounds}"
+    )
+
+
 def triangle_query_sql(dialect: str = "duckdb") -> str:
     """Global triangle count via canonical a<b<c two self-joins (matches
     operators.triangles with lexicographic orientation)."""

@@ -45,6 +45,17 @@ def test_degree_salting_preserves_pagerank(spark, graph):
     assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
 
 
+def test_pagerank_hub_split_param(spark, graph):
+    """The public hub_split_degree knob gives identical results."""
+    vertices, wedges = graph
+    plain = pagerank(vertices, wedges, fixed_iters=4, partitions=8)
+    split = pagerank(vertices, wedges, fixed_iters=4, partitions=8, hub_split_degree=5)
+    a = {r[0]: r[1] for r in plain.ranks.collect()}
+    b = {r[0]: r[1] for r in split.ranks.collect()}
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+
+
 def test_salt_cardinality_bounded(graph):
     _, wedges = graph
     salted = with_degree_salt(wedges, max_deg=5)
