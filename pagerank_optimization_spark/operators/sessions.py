@@ -8,17 +8,27 @@ user in time order; ties broken by event_id (total order)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _epoch_s(ts: Column) -> Column:
+    """Naive-timestamp epoch seconds, SESSION-TIMEZONE-INDEPENDENT.
+
+    The driver's correctness harness runs these queries in its own session,
+    whose timezone we do not control; `unix_micros(cast(ts as timestamp))`
+    would interpret the naive value in that session zone (and drift vs the
+    DuckDB oracle across DST transitions). Pure NTZ arithmetic —
+    timestampdiff against the naive epoch — matches DuckDB's
+    epoch_us(naive)/1e6 exactly under any session zone."""
+    origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", origin, ts) / F.lit(1e6)
 
 
 def sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
     """→ events + (session_seq, session_id). One shuffle (by user_id)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ has no direct double cast in Spark 4; unix_micros over a
-    # session-UTC cast matches DuckDB's epoch_us on the naive timestamp
-    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
-    gap = epoch_s - F.lag(epoch_s).over(w)
+    gap = _epoch_s(F.col("ts")) - F.lag(_epoch_s(F.col("ts"))).over(w)
     df = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
@@ -45,9 +55,7 @@ def session_stats(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
     return joined.groupBy("session_id", "user_id").agg(
         F.count("*").alias("n_events"),
         F.round(
-            F.max(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
-            - F.min(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)),
-            3,
+            F.max(_epoch_s(F.col("ts"))) - F.min(_epoch_s(F.col("ts"))), 3
         ).alias("duration_s"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
