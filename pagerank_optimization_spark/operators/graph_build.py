@@ -75,6 +75,44 @@ def build_edges(transcripts: DataFrame) -> DataFrame:
     return reply.unionByName(tool_edges).unionByName(followup).distinct()
 
 
+def edge_multiplicities(transcripts: DataFrame) -> DataFrame:
+    """Interaction-count multigraph view: → (src, dst, cnt) where cnt is the
+    number of reply/tool/followup interactions between the pair. The binary
+    view (build_edges) matches the reference's 0/1 matrices; this view
+    weights PageRank by interaction volume (engine extension)."""
+    turns = turn_entities(transcripts)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    reply = (
+        turns.withColumn("prev_entity", F.lag("entity").over(w))
+        .filter(F.col("prev_entity").isNotNull())
+        .select(F.col("entity").alias("src"), F.col("prev_entity").alias("dst"))
+    )
+    tool_edges = turns.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select(
+        F.concat(F.lit("agent:"), agent_key_expr(F.col("conv_id"))).alias("src"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+    )
+    followup = (
+        turns.withColumn("next_entity", F.lead("entity").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & F.col("tool").isNotNull()
+            & F.col("next_entity").isNotNull()
+        )
+        .select(
+            F.col("next_entity").alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        )
+    )
+    return (
+        reply.unionByName(tool_edges)
+        .unionByName(followup)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def build_vertices(transcripts: DataFrame, edges: DataFrame) -> DataFrame:
     """Distinct entity vertices: every turn entity plus every edge endpoint
     (single-turn conversations yield isolated — dangling — vertices, which
@@ -112,12 +150,29 @@ def normalize_edges(edges: DataFrame, outdeg: DataFrame | None = None) -> DataFr
     )
 
 
-def build_graph(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def build_graph(
+    transcripts: DataFrame, *, edge_weights: str = "binary"
+) -> tuple[DataFrame, DataFrame]:
     """transcripts → (vertices, weighted edges). The Spark analog of
-    `initialize_multiformat_graph` (pagerank.c:279-305)."""
-    edges = build_edges(transcripts)
-    vertices = build_vertices(transcripts, edges)
-    return vertices, normalize_edges(edges)
+    `initialize_multiformat_graph` (pagerank.c:279-305).
+
+    ``edge_weights``: "binary" (default — duplicates collapse, 1/outdeg
+    weights, reference parity) or "count" (multigraph — weight proportional
+    to interaction multiplicity, row-stochastic per source).
+    """
+    if edge_weights == "binary":
+        edges = build_edges(transcripts)
+        vertices = build_vertices(transcripts, edges)
+        return vertices, normalize_edges(edges)
+    if edge_weights != "count":
+        raise ValueError(f"unknown edge_weights {edge_weights!r}")
+    multi = edge_multiplicities(transcripts)
+    vertices = build_vertices(transcripts, multi)
+    totals = multi.groupBy(F.col("src")).agg(F.sum("cnt").alias("total"))
+    weighted = multi.join(F.broadcast(totals), "src").select(
+        "src", "dst", (F.col("cnt") / F.col("total")).alias("weight")
+    )
+    return vertices, weighted
 
 
 def vertex_ids(vertices: DataFrame) -> DataFrame:

@@ -65,11 +65,17 @@ def _iterate(
     fixed_iters: int | None,
     partitions: int,
     checkpointer=None,
+    reset: DataFrame | None = None,
 ) -> PageRankResult:
     """The shared superstep loop. ``step_fn(ranks) -> contribs`` computes the
     gather-scatter SpMV (kernel-specific); everything else — dangling mass,
     damping, delta, checkpoint — is kernel-independent and identical to the
-    numpy oracle's math."""
+    numpy oracle's math.
+
+    ``reset``: optional personalized teleport distribution
+    (id_col, reset_w) — MUST already be normalized to sum 1. Teleport and
+    dangling mass then land on reset_w instead of 1/n (topic-sensitive /
+    personalized PageRank); x0 = reset."""
     def canonical(df: DataFrame) -> DataFrame:
         # canonical physical layout for the rank vector: hash-partitioned on
         # the id, sorted within partitions. Makes the FP summation order of
@@ -86,8 +92,17 @@ def _iterate(
             start_iter, ranks = resumed
     fresh = ranks is None
     if fresh:
-        # x0 = 1/m uniform (pagerank.c:238; helper.c:79-84)
-        ranks = vertices.withColumn("pr", F.lit(1.0 / n))
+        if reset is not None:
+            # personalized: x0 = the teleport distribution, expanded over the
+            # FULL vertex set (the loop's stats join assumes the rank vector
+            # covers every vertex — a subset x0 silently corrupts the
+            # dangling-mass carry)
+            ranks = vertices.join(reset, id_col, "left").select(
+                id_col, F.coalesce(F.col("reset_w"), F.lit(0.0)).alias("pr")
+            )
+        else:
+            # x0 = 1/m uniform (pagerank.c:238; helper.c:79-84)
+            ranks = vertices.withColumn("pr", F.lit(1.0 / n))
     ranks = canonical(ranks).localCheckpoint(eager=True)
 
     # dangling mass for the FIRST superstep: uniform x0 gives |D|/n exactly;
@@ -95,8 +110,14 @@ def _iterate(
     # next dangling mass into the same single action as the delta — ONE
     # driver-side scalar job per superstep, never a collect of the vector.
     n_dangling = dangling.count()
-    if fresh:
+    if fresh and reset is None:
         dangling_mass = n_dangling / n
+    elif fresh:
+        dangling_mass = (
+            ranks.join(dangling, id_col, "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
     else:
         # prefer the bitwise-exact value recorded by the interrupted run
         # (recomputing the sum here could differ in the last ulp — sum order)
@@ -112,12 +133,14 @@ def _iterate(
     # vertex table with the dangling flag baked in (computed once): the
     # per-superstep plan is then ONE co-partitioned join chain — no separate
     # delta/dangling job ever touches the vector again
-    vertices_flagged = (
-        vertices.join(dangling.withColumn("is_dangling", F.lit(True)), id_col, "left")
-        .select(id_col, F.coalesce(F.col("is_dangling"), F.lit(False)).alias("is_dangling"))
-        .repartition(partitions, id_col)
-        .persist()
-    )
+    vertices_flagged = vertices.join(
+        dangling.withColumn("is_dangling", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce(F.col("is_dangling"), F.lit(False)).alias("is_dangling"))
+    if reset is not None:
+        vertices_flagged = vertices_flagged.join(reset, id_col, "left").select(
+            id_col, "is_dangling", F.coalesce(F.col("reset_w"), F.lit(0.0)).alias("reset_w")
+        )
+    vertices_flagged = vertices_flagged.repartition(partitions, id_col).persist()
     vertices_flagged.count()
 
     k = fixed_iters if fixed_iters is not None else max_iter
@@ -131,7 +154,11 @@ def _iterate(
         for it in range(start_iter, k):
             t0 = time.monotonic()
             contribs = step_fn(ranks.select(id_col, "pr"))
-            base = (1.0 - damping) / n + damping * dangling_mass / n
+            if reset is not None:
+                # teleport + dangling mass land on the reset distribution
+                base_col = F.lit((1.0 - damping) + damping * dangling_mass) * F.col("reset_w")
+            else:
+                base_col = F.lit((1.0 - damping) / n + damping * dangling_mass / n)
             # NOTE superstep plan-shape invariant: the state df (``ranks``) is
             # referenced exactly ONCE in the update query (inside step_fn), and
             # the delta query joins two DISTINCT checkpoints. A plan that joins
@@ -142,7 +169,7 @@ def _iterate(
             new_ranks = vertices_flagged.join(contribs, id_col, "left").select(
                 id_col,
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
                 "is_dangling",
@@ -213,6 +240,7 @@ def pagerank(
     partitions: int | None = None,
     kernel: str = "join-agg",
     hub_split_degree: int | None = None,
+    reset: DataFrame | None = None,
     checkpointer=None,
 ) -> PageRankResult:
     """Damped PageRank with dangling redistribution over weighted edges
@@ -228,11 +256,18 @@ def pagerank(
     in-degree hubs (join-agg kernel only): destinations with in-degree
     above the threshold aggregate in two phases over deterministic salts
     (plans.partitioning) — identical results, bounded per-key reduce work.
+
+    ``reset``: personalized/topic-sensitive PageRank — a DataFrame
+    (id_col, weight ≥ 0, any scale; normalized internally). Teleport and
+    dangling mass land on this distribution instead of uniform; vertices
+    absent from it get teleport weight 0. join-agg kernel only.
     """
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     if kernel == "csr-blocks":
+        if reset is not None:
+            raise NotImplementedError("personalized reset is join-agg-kernel-only for now")
         from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
 
         return pagerank_csr(
@@ -268,6 +303,19 @@ def pagerank(
     dangling = _dangling_of(vertices, edges, id_col).persist()
     nnz = edges.count()
 
+    if reset is not None:
+        # restrict to known vertices, then normalize — teleport weight on
+        # unknown ids is dropped (renormalized over what remains)
+        reset = reset.join(vertices, id_col, "left_semi")
+        total = reset.agg(F.sum("weight")).collect()[0][0]
+        if not total or total <= 0:
+            raise ValueError(
+                "pagerank: reset distribution has no positive weight on any "
+                "graph vertex (check ids and weights)"
+            )
+        reset = reset.select(id_col, (F.col("weight") / F.lit(float(total))).alias("reset_w"))
+        reset = reset.repartition(partitions, id_col).persist()
+
     if hub_split_degree is not None:
         from pagerank_optimization_spark.plans.partitioning import salted_pagerank_step
 
@@ -294,6 +342,7 @@ def pagerank(
             fixed_iters=fixed_iters,
             partitions=partitions,
             checkpointer=checkpointer,
+            reset=reset,
         )
     finally:
         edges.unpersist()

@@ -74,8 +74,11 @@ def pagerank_dense(
     tol: float = 1.0e-6,
     max_iter: int = 100,
     fixed_iters: int | None = None,
+    reset: dict[str, float] | None = None,
 ) -> dict[str, float]:
-    """Dense float64 power iteration with damping + dangling redistribution."""
+    """Dense float64 power iteration with damping + dangling redistribution.
+    ``reset``: optional personalized teleport distribution (normalized
+    internally; missing vertices get 0)."""
     n = len(vertices)
     idx = {v: i for i, v in enumerate(vertices)}
     A = np.zeros((n, n), dtype=np.float64)  # A[dst, src] = 1/outdeg(src)
@@ -84,12 +87,20 @@ def pagerank_dense(
         outdeg[idx[s]] += 1
     for s, d in edges:
         A[idx[d], idx[s]] = 1.0 / outdeg[idx[s]]
-    x = np.full(n, 1.0 / n)
+    if reset is not None:
+        r = np.zeros(n)
+        for v, w in reset.items():
+            r[idx[v]] = w
+        r = r / r.sum()
+        x = r.copy()
+    else:
+        r = np.full(n, 1.0 / n)
+        x = np.full(n, 1.0 / n)
     dangling = outdeg == 0
     k = fixed_iters if fixed_iters is not None else max_iter
     for _ in range(k):
         dm = x[dangling].sum()
-        y = (1.0 - damping) / n + damping * (A @ x + dm / n)
+        y = (1.0 - damping) * r + damping * (A @ x + dm * r)
         delta = np.abs(y - x).sum()
         x = y
         if fixed_iters is None and delta <= tol:
