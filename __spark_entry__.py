@@ -178,7 +178,18 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_media,
     )
 
-    return extract_features(synthesize_media(spark, 300, seed=42))
+    feats = extract_features(synthesize_media(spark, 300, seed=42))
+    # The driver canonicalizer sorts every column in pandas; array<int>
+    # cells are unhashable there — project the histogram to a deterministic
+    # scalar string for the harness (library API keeps the array form).
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.concat_ws(",", F.col("histogram").cast("array<string>")).alias("histogram_csv"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

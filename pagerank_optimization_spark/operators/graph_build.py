@@ -136,16 +136,15 @@ def out_degrees(edges: DataFrame) -> DataFrame:
 def normalize_edges(edges: DataFrame, outdeg: DataFrame | None = None) -> DataFrame:
     """weight = 1/outdeg(src) (pagerank.c:138-148) → column-stochastic edges.
 
-    The degree table is |V|-sized (≪ |E|) — broadcast it so the big edge
-    relation never shuffles for this join.
+    The degree table is |V|-sized (≪ |E|) but NOT bounded — at 10^9
+    vertices a forced broadcast is an executor OOM. No hint here: AQE /
+    autoBroadcastJoinThreshold picks broadcast when the measured size fits
+    and a shuffle join when it doesn't (plan-tested both ways in
+    tests/test_partitioning.py).
     """
     outdeg = outdeg if outdeg is not None else out_degrees(edges)
     return (
-        edges.join(
-            F.broadcast(outdeg.withColumnRenamed("entity", "src")),
-            "src",
-            "inner",
-        )
+        edges.join(outdeg.withColumnRenamed("entity", "src"), "src", "inner")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight"))
     )
 
@@ -168,18 +167,66 @@ def build_graph(
         raise ValueError(f"unknown edge_weights {edge_weights!r}")
     multi = edge_multiplicities(transcripts)
     vertices = build_vertices(transcripts, multi)
+    # |V|-sized totals: no broadcast hint — AQE decides by measured size
     totals = multi.groupBy(F.col("src")).agg(F.sum("cnt").alias("total"))
-    weighted = multi.join(F.broadcast(totals), "src").select(
+    weighted = multi.join(totals, "src").select(
         "src", "dst", (F.col("cnt") / F.col("total")).alias("weight")
     )
     return vertices, weighted
 
 
-def vertex_ids(vertices: DataFrame) -> DataFrame:
-    """Deterministic dense vid per entity: row_number over sorted entities
-    (0-based, LongType — the reference's int32 ids, sparse.h:63-64, are a
-    scale limit we deliberately do not copy). A global sort is fine at
-    fixture scale; at 10^12 turns swap in zipWithIndex over sorted
-    partitions — same contract, no single-point sort."""
-    w = W.orderBy("entity")
-    return vertices.select("entity", (F.row_number().over(w) - 1).cast("long").alias("vid"))
+def vertex_ids(
+    vertices: DataFrame, *, partitions: int | None = None, eager: bool = True
+) -> DataFrame:
+    """Deterministic dense vid per entity: vid = rank of entity in global
+    sorted order, 0-based LongType (the reference's int32 ids,
+    sparse.h:63-64, are a scale limit we deliberately do not copy).
+
+    DISTRIBUTED id assignment — no single-partition sort. The naive
+    `row_number().over(Window.orderBy(entity))` funnels all |V| rows through
+    one task (Exchange SinglePartition); instead:
+
+      1. range-partition by entity (partition i's entities all sort before
+         partition i+1's — non-overlapping key ranges);
+      2. count rows per partition (one tiny P-row collect) and prefix-sum
+         into per-partition base offsets on the driver;
+      3. vid = base_offset(partition) + local row_number within the
+         partition (window PARTITIONED by the captured partition id — a
+         distributed window, never a global one).
+
+    The result is exactly the global sorted rank regardless of where the
+    range sampler places boundaries, so the entity→vid contract is stable
+    across parallelism levels and runs. zipWithIndex-over-sorted-partitions,
+    DataFrame-native.
+
+    ``eager=True`` (default) localCheckpoints the result — the map is
+    reused every superstep; ``eager=False`` returns the lazy plan
+    (plan-audit hook: tests assert it contains no single-partition
+    exchange)."""
+    spark = vertices.sparkSession
+    P = partitions or spark.sparkContext.defaultParallelism
+    # capture the physical partition id as data; persist so the counts pass
+    # and the assignment pass see the same layout (range placement is
+    # deterministic anyway — fixed sampler seed per partition index — but
+    # the persist saves the second computation)
+    ranged = (
+        vertices.select("entity")
+        .repartitionByRange(P, "entity")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid").count().collect()  # ≤ P rows — driver-safe
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    off_df = spark.createDataFrame(offsets, "_pid int, _base long")
+    w = W.partitionBy("_pid").orderBy("entity")
+    out = ranged.join(F.broadcast(off_df), "_pid").select(
+        "entity",
+        (F.col("_base") + F.row_number().over(w) - 1).cast("long").alias("vid"),
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)  # ids are reused every superstep
+        ranged.unpersist()
+    return out

@@ -260,14 +260,14 @@ def pagerank(
     ``reset``: personalized/topic-sensitive PageRank — a DataFrame
     (id_col, weight ≥ 0, any scale; normalized internally). Teleport and
     dangling mass land on this distribution instead of uniform; vertices
-    absent from it get teleport weight 0. join-agg kernel only.
+    absent from it get teleport weight 0. Supported by BOTH kernels —
+    the dispatch contract is feature-uniform, like the reference's macro
+    dispatch (build_test_rig.sh:37-48).
     """
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     if kernel == "csr-blocks":
-        if reset is not None:
-            raise NotImplementedError("personalized reset is join-agg-kernel-only for now")
         from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
 
         return pagerank_csr(
@@ -279,6 +279,7 @@ def pagerank(
             max_iter=max_iter,
             fixed_iters=fixed_iters,
             partitions=partitions,
+            reset=reset,
             checkpointer=checkpointer,
         )
     if kernel != "join-agg":

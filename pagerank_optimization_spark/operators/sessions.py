@@ -77,8 +77,11 @@ WITH g AS (
 ),
 s AS (
   SELECT event_id, user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- CAST: DuckDB's windowed sum() yields HUGEINT, which pandas
+         -- renders as float64; Spark emits int64. Same values, different
+         -- bytes under the driver's hash — force BIGINT on the SQL side.
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT event_id, user_id, session_seq,

@@ -40,9 +40,11 @@ def triangle_count(edges: DataFrame, *, degree_oriented: bool = True) -> DataFra
             und.select(F.col("a").alias("v")).unionByName(und.select(F.col("b").alias("v")))
             .groupBy("v").agg(F.count("*").alias("deg"))
         )
+        # deg is |V|-sized and unbounded — no broadcast hint; AQE picks
+        # broadcast iff the measured size fits autoBroadcastJoinThreshold
         e = (
-            und.join(F.broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da")), "a")
-            .join(F.broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db")), "b")
+            und.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+            .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
             .select(
                 F.when(
                     (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),

@@ -45,19 +45,31 @@ FROM n
 """
 
 
-def docs_ngram_jaccard_sql(k: int = 3, threshold: float = 0.8) -> str:
+def docs_ngram_jaccard_sql(
+    k: int = 3, threshold: float = 0.8, max_shingle_freq: int = 1000
+) -> str:
     """a, b, jaccard — exact k-gram Jaccard pairs ≥ threshold (mirrors
-    operators.dedup.ngram_jaccard_pairs with the same tokenization)."""
+    operators.dedup.ngram_jaccard_pairs with the same tokenization AND the
+    same max_shingle_freq skew filter — without it the twin silently
+    diverges once any shingle's doc frequency exceeds the cap)."""
     return rf"""
 WITH t AS MATERIALIZED (
   SELECT doc_id, {TOKS} AS toks FROM documents
 ),
-sh AS MATERIALIZED (
+sh0 AS MATERIALIZED (
   SELECT DISTINCT doc_id, s AS shingle
   FROM t, unnest(list_transform(
         range(1, greatest(len(toks) - {k}, 0) + 2),
         i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS u(s)
   WHERE len(string_split(s, ' ')) = {k}
+),
+sh AS MATERIALIZED (
+  -- skew guard twin: drop shingles whose doc frequency exceeds the cap,
+  -- mirroring ngram_jaccard_pairs(max_shingle_freq={max_shingle_freq})
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_shingle_freq}
+  )
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (

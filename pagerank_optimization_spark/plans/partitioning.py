@@ -91,6 +91,21 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError("expected a broadcast join in the plan")
 
 
+def assert_no_single_partition_exchange(df: DataFrame) -> None:
+    """Fails if the plan funnels data through ONE partition (a global
+    window / global sort) — the serialize-|V|-rows-through-one-task hazard
+    that makes an operator a 100 TB non-starter."""
+    plan = physical_plan(df)
+    if "Exchange SinglePartition" in plan:
+        raise AssertionError("plan contains Exchange SinglePartition (global funnel)")
+
+
+def assert_no_broadcast_join(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    if "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan:
+        raise AssertionError("expected NO broadcast join in the plan")
+
+
 def assert_partial_aggregation(df: DataFrame) -> None:
     """Partial+final hash aggregation (the OpenMP array-reduction analog,
     tuned_variant_openmp.c:75-77) must be present for groupBy sums."""

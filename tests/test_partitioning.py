@@ -4,11 +4,17 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from pagerank_optimization_spark.operators.graph_build import build_graph, turn_entities
+from pagerank_optimization_spark.operators.graph_build import (
+    build_graph,
+    turn_entities,
+    vertex_ids,
+)
 from pagerank_optimization_spark.operators.pagerank import _dangling_of, _iterate, pagerank
 from pagerank_optimization_spark.plans.partitioning import (
     assert_broadcast_join,
     assert_column_pruned,
+    assert_no_broadcast_join,
+    assert_no_single_partition_exchange,
     assert_partial_aggregation,
     salted_pagerank_step,
     with_degree_salt,
@@ -77,9 +83,56 @@ def test_text_column_pruned_from_graph_scan(spark, tmp_path):
     assert_column_pruned(turns, "text")
 
 
-def test_degree_join_is_broadcast(graph):
+def test_degree_join_broadcast_is_gated_not_forced(spark, graph):
+    """|V|-sized degree tables carry NO forced broadcast hint: Spark
+    broadcasts them when the measured size fits autoBroadcastJoinThreshold
+    and falls back to a shuffle join when it doesn't (a forced hint at
+    10^9 vertices is an executor OOM)."""
     _, wedges = graph
-    assert_broadcast_join(wedges)  # normalization join carries the hint
+    # default threshold (10MB): the tiny fixture degree table broadcasts
+    assert_broadcast_join(wedges)
+    # threshold off ⇒ no hint remains to force it ⇒ shuffle join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        transcripts = synthesize_transcripts(spark, 50, seed=13)
+        _, wedges2 = build_graph(transcripts)
+        assert_no_broadcast_join(wedges2)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_vid_map_broadcast_gated_by_row_limit(spark, graph, monkeypatch):
+    """pagerank_csr broadcasts the entity→vid map only below
+    BROADCAST_ROW_LIMIT; above it the join must not be hint-forced."""
+    from pagerank_optimization_spark.operators import pagerank_csr as pcsr
+
+    vertices, wedges = graph
+    # truncate lineage: the cached wedges plan embeds its own (legitimate)
+    # degree broadcast join, which would false-positive the audit below
+    edges_flat = wedges.localCheckpoint(eager=True)
+    ids = vertex_ids(vertices, partitions=4)
+    n = ids.count()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for limit, check in [(n + 1, assert_broadcast_join), (0, assert_no_broadcast_join)]:
+            hint = F.broadcast if n <= limit else (lambda df: df)
+            joined = edges_flat.join(
+                hint(ids.select(F.col("entity").alias("src"), F.col("vid").alias("src_vid"))),
+                "src",
+            )
+            check(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_vertex_ids_plan_has_no_global_funnel(spark, graph):
+    """The vid assignment must never serialize |V| rows through one task
+    (the round-1 `WindowExec: No Partition Defined` scale-killer)."""
+    vertices, _ = graph
+    lazy = vertex_ids(vertices, partitions=8, eager=False)
+    assert_no_single_partition_exchange(lazy)
 
 
 def test_contrib_agg_has_partial_phase(graph):

@@ -21,14 +21,20 @@ def graph(spark):
     return vertices.cache(), wedges.cache(), o_vertices, o_edges, transcripts
 
 
-def test_personalized_matches_numpy(spark, graph):
+@pytest.mark.parametrize("kernel", ["join-agg", "csr-blocks"])
+def test_personalized_matches_numpy(spark, graph, kernel):
+    """Feature-uniform kernel dispatch (the reference runs every variant
+    through the same rig, build_test_rig.sh:37-48): personalized reset must
+    hold on BOTH kernels against the numpy oracle."""
     vertices, wedges, o_vertices, o_edges, _ = graph
     # teleport onto the agent entities only, skewed
     agents = sorted(v for v in o_vertices if v.startswith("agent:"))
     reset_py = {a: float(i + 1) for i, a in enumerate(agents)}
     reset_df = spark.createDataFrame(list(reset_py.items()), "entity string, weight double")
 
-    res = pagerank(vertices, wedges, tol=1e-10, max_iter=200, reset=reset_df, partitions=8)
+    res = pagerank(
+        vertices, wedges, tol=1e-10, max_iter=200, reset=reset_df, partitions=8, kernel=kernel
+    )
     got = {r[0]: r[1] for r in res.ranks.collect()}
     want = oracle.pagerank_dense(o_vertices, o_edges, tol=1e-10, max_iter=200, reset=reset_py)
     ks = sorted(want)
@@ -54,9 +60,9 @@ def test_personalized_rejects_bad_reset(spark, graph):
     )
     res = pagerank(vertices, wedges, fixed_iters=2, reset=mixed, partitions=4)
     assert abs(res.ranks.agg(F.sum("pr")).collect()[0][0] - 1.0) < 1e-9
-    with pytest.raises(NotImplementedError):
-        r = spark.createDataFrame([("agent:a1", 1.0)], "entity string, weight double")
-        pagerank(vertices, wedges, fixed_iters=2, reset=r, kernel="csr-blocks", partitions=4)
+    # same rejection contract on the csr-blocks kernel (feature-uniform dispatch)
+    with pytest.raises(ValueError):
+        pagerank(vertices, wedges, fixed_iters=2, reset=ghost, kernel="csr-blocks", partitions=4)
 
 
 def test_count_weighted_graph(spark, graph):
