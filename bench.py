@@ -7,6 +7,17 @@ reference's timer harness (timer_op.c): fixed k0=10 PageRank supersteps
 second per superstep (the reference counts 2 FLOPs/edge/iteration,
 timer_op.c:284-289 — edges/sec = GFLOP/s × 5e8).
 
+The four kernel queries take the MIN over $BENCH_TRIALS (default 3) timed
+runs — the reference's min-of-trials protocol (timer_op.c:52-61, 269);
+a single-pass timing is one GC pause away from a garbage row. One-shot
+pipeline queries (CC, LPA, triangles, converged PR) stay single-pass —
+they are long enough to amortize and min-of-N would triple bench wall.
+
+A size-sweep table (the S10 plot-sink analog, plotter_multi.py:16-62 —
+size × kernel × edges/sec/superstep) lands in BENCH/sweep.csv when
+$BENCH_SWEEP=1 (off by default to keep the per-round bench tight; the
+committed BENCH/sweep.csv is refreshed whenever the kernels change).
+
 Extra fields beyond the required {metric, value, unit, queries, sf}:
 ``edges_per_sec_per_superstep`` for the two kernels, graph dims, and a
 ``synth`` section measuring the same kernels on a larger deterministic
@@ -51,12 +62,31 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
 
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+
     def timed(name: str, fn):
         t0 = time.monotonic()
         out = fn()
         dt = time.monotonic() - t0
         queries[name] = round(dt, 3)
         log(f"{name}: {dt:.2f}s")
+        return out
+
+    def timed_min(name: str, fn):
+        """min-of-trials (timer_op.c:52-61): first call's result is kept,
+        timing is the min across trials."""
+        best, out = None, None
+        for t in range(trials):
+            t0 = time.monotonic()
+            r = fn()
+            dt = time.monotonic() - t0
+            log(f"{name} trial {t}: {dt:.2f}s")
+            if best is None or dt < best:
+                best = dt
+            if out is None:
+                out = r
+        queries[name] = round(best, 3)
+        log(f"{name}: min {best:.2f}s over {trials}")
         return out
 
     # --- sf-table graph -----------------------------------------------------
@@ -71,11 +101,13 @@ def main() -> None:
     vertices, edges, n_v, n_e = timed("graph_build", _build)
     extra["graph"] = {"vertices": n_v, "edges": n_e}
 
-    res_ja = timed("pagerank_k10_joinagg", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus))
+    # one unmeasured warm-up (JIT + python worker pool) before the timed kernels
+    pagerank(vertices, edges, fixed_iters=2, partitions=cpus, kernel="csr-blocks")
+    res_ja = timed_min("pagerank_k10_joinagg", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus))
     queries_sec = queries["pagerank_k10_joinagg"]
     extra["edges_per_sec_per_superstep_joinagg"] = round(n_e * k0 / queries_sec)
 
-    timed("pagerank_k10_csr", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
+    timed_min("pagerank_k10_csr", lambda: pagerank(vertices, edges, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
     extra["edges_per_sec_per_superstep_csr"] = round(n_e * k0 / queries["pagerank_k10_csr"])
 
     res_conv = timed("pagerank_converged", lambda: pagerank(vertices, edges, tol=1e-6, max_iter=100, partitions=cpus))
@@ -94,10 +126,47 @@ def main() -> None:
 
     sv, se, s_nv, s_ne = timed("synth_graph_build", _synth)
     extra["synth_graph"] = {"n_conv": synth_conv, "vertices": s_nv, "edges": s_ne}
-    timed("synth_pagerank_k10_joinagg", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus))
+    timed_min("synth_pagerank_k10_joinagg", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus))
     extra["synth_edges_per_sec_per_superstep_joinagg"] = round(s_ne * k0 / queries["synth_pagerank_k10_joinagg"])
-    timed("synth_pagerank_k10_csr", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
+    timed_min("synth_pagerank_k10_csr", lambda: pagerank(sv, se, fixed_iters=k0, partitions=cpus, kernel="csr-blocks"))
     extra["synth_edges_per_sec_per_superstep_csr"] = round(s_ne * k0 / queries["synth_pagerank_k10_csr"])
+
+    # --- size sweep (S10 plot-sink analog) -----------------------------------
+    if os.environ.get("BENCH_SWEEP", "0") == "1":
+        import csv
+
+        rows = []
+        for n_conv in (5000, 20000, synth_conv):
+            tr = synthesize_transcripts(spark, n_conv, seed=42)
+            wv, we = build_graph(tr)
+            wv, we = wv.persist(), we.persist()
+            w_nv, w_ne = wv.count(), we.count()
+            for kern in ("join-agg", "csr-blocks"):
+                best = None
+                for _ in range(trials):
+                    t0 = time.monotonic()
+                    pagerank(wv, we, fixed_iters=k0, partitions=cpus, kernel=kern)
+                    dt = time.monotonic() - t0
+                    best = dt if best is None or dt < best else best
+                rows.append(
+                    {
+                        "n_conv": n_conv,
+                        "vertices": w_nv,
+                        "edges": w_ne,
+                        "kernel": kern,
+                        "k0": k0,
+                        "wall_s_min": round(best, 3),
+                        "edges_per_sec_per_superstep": round(w_ne * k0 / best),
+                    }
+                )
+                log(f"sweep n_conv={n_conv} {kern}: {best:.2f}s")
+            wv.unpersist(), we.unpersist()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/sweep.csv", "w", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            wtr.writeheader()
+            wtr.writerows(rows)
+        extra["sweep"] = rows
 
     total = time.monotonic() - t0_all
     out = {

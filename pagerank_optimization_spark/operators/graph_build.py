@@ -175,9 +175,9 @@ def build_graph(
     return vertices, weighted
 
 
-def vertex_ids(
+def vertex_ids_counted(
     vertices: DataFrame, *, partitions: int | None = None, eager: bool = True
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Deterministic dense vid per entity: vid = rank of entity in global
     sorted order, 0-based LongType (the reference's int32 ids,
     sparse.h:63-64, are a scale limit we deliberately do not copy).
@@ -229,4 +229,12 @@ def vertex_ids(
     if eager:
         out = out.localCheckpoint(eager=True)  # ids are reused every superstep
         ranged.unpersist()
-    return out
+    return out, acc
+
+
+def vertex_ids(
+    vertices: DataFrame, *, partitions: int | None = None, eager: bool = True
+) -> DataFrame:
+    """See vertex_ids_counted — same assignment, without the (free) total
+    count that the counting pass produces as a by-product."""
+    return vertex_ids_counted(vertices, partitions=partitions, eager=eager)[0]

@@ -7,36 +7,46 @@ segment (tuned_variant_csr.c:72-84), then vectorize the gather with AVX2
 `_mm256_i32gather_ps` (tuned_variant_simd.c:297-300) and reduce each
 segment with an 8-lane horizontal sum (tuned_variant_simd.c:244-269).
 
-The Spark-native rebuild of that layout — DESTINATION-bucketed so each
-superstep is ONE shuffle:
+The Spark-native rebuild of that layout — DESTINATION-bucketed and FUSED,
+so each superstep is ONE job with ONE routing shuffle:
 
-- edges are bucketed by ``dst % P``; each bucket's edges are compiled ONCE
-  into a numpy CSR block — destinations counting-sorted (np.argsort stable
-  ≡ the reference's histogram+scatter), an ``indptr`` built from run
-  lengths, and the source index localized to the bucket's OWN dense
-  source-slot space (np.unique inverse — only sources that actually feed
-  this bucket get a slot);
-- a static ``routes`` table (src vid → bucket, local slot) records which
-  rank entries each bucket needs. Blocks and routes are the
-  DISTRIBUTE_DATA moment (tuned_variant_baseline.c:247-324): layout is
-  decided once, cached, and reused every superstep;
-- per superstep, the rank vector (hash-partitioned on vid, same layout as
-  ``routes`` — the join is exchange-free) is routed to its buckets and
-  cogrouped with the blocks inside ``applyInPandas``; the gather
-  ``x[src_idx]`` is numpy fancy indexing (the `i32gather` analog for a
-  whole Arrow batch, not 8 lanes), the per-destination segment sum is
-  ``np.add.reduceat`` over ``indptr`` (the CSR row-segment sum,
-  tuned_variant_csr.c:74-84);
-- because every destination lives in exactly ONE bucket (dst % P), the
-  per-bucket segment sums are already FINAL — there is no second global
-  groupBy(dst) shuffle. This is the whole point of CSR over COO
-  (tuned_variant_csr.c:72-84, writeup §I): the layout pre-pays the
-  scatter so the hot loop only gathers and reduces.
+- vertex ids are dense 0..n-1, so bucket membership is pure arithmetic:
+  bucket b owns vids {b, b+P, b+2P, ...} at local offset vid // P. No
+  vertex list is ever materialized — the bucket's rank slice, dangling
+  mask and reset slice are flat arrays indexed by that offset;
+- edges are compiled ONCE per bucket (dst % P) into a numpy CSR block:
+  deterministic (dst, src) lexsort (the counting sort of
+  tuned_variant_csr.c:179-229 with a fixed total order, so a rebuilt
+  block is bit-identical regardless of shuffle arrival order), indptr
+  over the dst runs, sources localized to dense gather slots;
+- a static ``routes`` table (vid → bucket, slot, tag) carries BOTH the
+  gather routes (tag=1: src rank → every bucket its out-edges feed) and
+  the identity routes (tag=0: each vertex's own rank → its home bucket,
+  for the delta and the base term). Blocks + routes are the
+  DISTRIBUTE_DATA moment (tuned_variant_baseline.c:247-324);
+- per superstep the rank vector joins routes (exchange-free: both sides
+  hash-partitioned on vid) and is cogrouped with the blocks; INSIDE the
+  Arrow batch the kernel does the whole update: gather x[src_idx]
+  (numpy fancy indexing — the i32gather analog for a full batch), CSR
+  segment sum via np.add.reduceat (tuned_variant_csr.c:74-84), scatter
+  to the dense bucket slice, damping + teleport/personalized base,
+  |new−old| per vertex and the bucket's dangling rank mass;
+- the cogroup output (vid, pr, abs_delta, dang_pr) is the ENTIRE
+  superstep state: new ranks are a projection of its checkpoint, the L1
+  delta and next dangling mass are one scalar agg over the same
+  checkpoint — no join against the previous rank vector, no join
+  against a flagged vertex table, no second aggregation shuffle.
 
-Per-superstep shuffle ledger: route-join (exchange-free, both sides
-pre-partitioned on vid) → ONE exchange into dst-buckets → final sums.
-The old src-bucketed design paid that exchange PLUS a global
-groupBy(vid).sum of partials every superstep.
+Per-superstep plan, frontier-broadcast mode (n ≤ BROADCAST_ROW_LIMIT):
+broadcast ranks ⋈ bucket-partitioned routes (BHJ preserves the bucket
+partitioning) → Arrow kernel cogroup → checkpoint + scalar agg — ZERO
+shuffle exchanges per superstep. Scale mode (large n): ranks merge-join
+the vid-partitioned routes, the routed frontier exchanges into its dst
+buckets — the frontier-sized shuffles a distributed PageRank
+fundamentally pays, never a full-vector broadcast. The join-agg kernel
+runs three joins and two aggregations through the JVM per superstep; at
+scale both are shuffle-bound by the frontier, and the CSR path does its
+math vectorized.
 
 No per-row Python anywhere (input_hint requirement): everything crossing
 the JVM↔Python boundary is an Arrow batch, everything inside is numpy.
@@ -49,13 +59,16 @@ Arrow batches give full-width vectorization regardless of run lengths
 
 from __future__ import annotations
 
+import time
+from typing import Any
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pagerank_optimization_spark.operators.graph_build import vertex_ids
+from pagerank_optimization_spark.operators.graph_build import vertex_ids_counted
 
 # Above this row count an id-map broadcast risks executor OOM at the
 # 10^9-vertex scale this engine targets — fall back to a shuffle join
@@ -65,33 +78,44 @@ BROADCAST_ROW_LIMIT = 1_000_000
 BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
-        T.StructField("n_src", T.LongType(), False),       # local source slots
-        T.StructField("src_idx", T.BinaryType(), False),   # int64 local gather index
-        T.StructField("indptr", T.BinaryType(), False),    # int64 CSR offsets
-        T.StructField("dst_vid", T.BinaryType(), False),   # int64 distinct dst per segment
-        T.StructField("weight", T.BinaryType(), False),    # float64 edge weights
+        T.StructField("n_src", T.LongType(), False),        # local gather slots
+        T.StructField("src_idx", T.BinaryType(), False),    # int64 local gather index
+        T.StructField("indptr", T.BinaryType(), False),     # int64 CSR offsets
+        T.StructField("dst_local", T.BinaryType(), False),  # int64 bucket offsets of dsts
+        T.StructField("weight", T.BinaryType(), False),     # float64 edge weights
     ]
 )
 
-CONTRIB_SCHEMA = T.StructType(
+AUX_SCHEMA = T.StructType(
     [
-        T.StructField("vid", T.LongType(), False),
-        T.StructField("contrib", T.DoubleType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("dang_mask", T.BinaryType(), False),  # uint8 per bucket vertex
+        T.StructField("reset_arr", T.BinaryType(), True),   # float64 per bucket vertex
     ]
 )
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vid", T.LongType(), False),
+        T.StructField("pr", T.DoubleType(), False),
+        T.StructField("abs_delta", T.DoubleType(), False),
+        T.StructField("dang_pr", T.DoubleType(), False),
+    ]
+)
+
+
+def _bucket_size(n: int, b: int, P: int) -> int:
+    return (n - b + P - 1) // P if b < n else 0
 
 
 def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
-    """Compile (src, dst, weight) vid-space edges into P cached CSR blocks,
+    """Compile (src, dst, weight) vid-space edges into ≤P cached CSR blocks,
     bucketed by DESTINATION (dst % P) so per-superstep segment sums are
     final without a global re-aggregation.
 
-    Inside each bucket: stable-sort edges by dst (the counting sort of
-    tuned_variant_csr.c:179-229 — np.argsort(kind='stable') over a bounded
-    key is the same algorithm), emit indptr over the dst runs, and localize
-    src to the bucket's dense slot space via np.unique's inverse (ascending
-    src order — the same order build_routes numbers slots in).
-    """
+    Layout is a deterministic function of the edge SET (lexsort by
+    (dst, src)), not of shuffle arrival order — a block rebuilt on resume
+    reduces in the same FP order."""
     P = n_buckets
 
     def compile_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -99,7 +123,7 @@ def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
         src = pdf["src"].to_numpy(dtype=np.int64)
         dst = pdf["dst"].to_numpy(dtype=np.int64)
         w = pdf["weight"].to_numpy(dtype=np.float64)
-        order = np.argsort(dst, kind="stable")
+        order = np.lexsort((src, dst))  # deterministic total order
         src, dst, w = src[order], dst[order], w[order]
         dst_unique, counts = np.unique(dst, return_counts=True)
         indptr = np.zeros(len(dst_unique) + 1, dtype=np.int64)
@@ -111,7 +135,7 @@ def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
                 "n_src": [len(src_unique)],
                 "src_idx": [src_idx.astype(np.int64).tobytes()],
                 "indptr": [indptr.tobytes()],
-                "dst_vid": [dst_unique.tobytes()],
+                "dst_local": [((dst_unique - b) // P).tobytes()],
                 "weight": [w.tobytes()],
             }
         )
@@ -123,66 +147,373 @@ def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def build_routes(vid_edges: DataFrame, n_buckets: int, partitions: int) -> DataFrame:
-    """Static routing table (vid, bucket, pos): source vid → every dst
-    bucket it feeds, with the bucket-local slot its rank value occupies.
+def build_routes(
+    vid_edges: DataFrame,
+    vids: DataFrame,
+    n_buckets: int,
+    partitions: int,
+    *,
+    bucket_layout: bool,
+) -> DataFrame:
+    """Static routing table (vid, bucket, pos, tag):
 
-    Slot numbering: row_number over (bucket, src ascending) — exactly the
-    order np.unique gives the block's local src space, so ``x[pos] = pr``
-    inside the kernel lands each value in its gather slot.
+    - tag=1 gather routes: source vid → every dst bucket it feeds, pos =
+      the bucket-local gather slot (rank of src among the bucket's
+      distinct sources — the same ascending order np.unique gives the
+      block's slot space);
+    - tag=0 identity routes: each vertex → its home bucket (vid % P) at
+      its dense offset (vid // P) — carries the old rank for the delta
+      and guarantees every vertex appears in its bucket's output.
 
-    Size: one row per distinct (src, dst-bucket) pair ≤ min(nnz, |V|·P) —
-    this is the per-superstep shuffle volume, the same frontier-replication
-    bound a vertex-cut graph system pays."""
-    r = (
+    ``bucket_layout=True`` (the broadcast-frontier mode, n ≤
+    BROADCAST_ROW_LIMIT): partition by bucket so the per-superstep
+    BroadcastHashJoin output feeds the cogroup with ZERO exchanges.
+    ``bucket_layout=False`` (scale mode): partition by vid for the
+    co-partitioned merge join against the canonical rank layout.
+
+    Size: |V| identity rows + one row per distinct (src, dst-bucket)
+    pair ≤ min(nnz, |V|·P) — the per-superstep shuffle volume, the same
+    frontier-replication bound a vertex-cut graph system pays."""
+    P = n_buckets
+    gather = (
         vid_edges.select(
             F.col("src").alias("vid"),
-            F.pmod(F.col("dst"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            F.pmod(F.col("dst"), F.lit(P)).cast("int").alias("bucket"),
         )
         .distinct()
     )
     w = W.partitionBy("bucket").orderBy("vid")
+    gather = gather.select(
+        "vid",
+        "bucket",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.lit(1).cast("tinyint").alias("tag"),
+    )
+    ident = vids.select(
+        "vid",
+        F.pmod(F.col("vid"), F.lit(P)).cast("int").alias("bucket"),
+        ((F.col("vid") - F.pmod(F.col("vid"), F.lit(P))) / F.lit(P)).cast("long").alias("pos"),
+        F.lit(0).cast("tinyint").alias("tag"),
+    )
+    routes = gather.unionByName(ident)
+    if bucket_layout:
+        return routes.repartition(P, "bucket")
+    return routes.repartition(partitions, "vid").sortWithinPartitions("vid")
+
+
+def build_aux(
+    vids: DataFrame, dangling_vids: DataFrame, reset: DataFrame | None, n: int, n_buckets: int
+) -> DataFrame:
+    """Per-bucket flat auxiliary arrays aligned to the dense bucket layout
+    (offset vid // P): dangling bitmask and, when personalized, the reset
+    distribution slice. Built once at DISTRIBUTE_DATA time so the
+    per-superstep kernel needs no vertex-table join at all."""
+    P = n_buckets
+    flagged = vids.join(
+        dangling_vids.withColumn("_d", F.lit(True)), "vid", "left"
+    ).select("vid", F.coalesce(F.col("_d"), F.lit(False)).alias("_d"))
+    if reset is not None:
+        flagged = flagged.join(reset, "vid", "left").select(
+            "vid", "_d", F.coalesce(F.col("reset_w"), F.lit(0.0)).alias("_r")
+        )
+    else:
+        flagged = flagged.withColumn("_r", F.lit(None).cast("double"))
+    has_reset = reset is not None
+
+    def compile_aux(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["bucket"].iloc[0])
+        m = _bucket_size(n, b, P)
+        off = (pdf["vid"].to_numpy(dtype=np.int64) - b) // P
+        mask = np.zeros(m, dtype=np.uint8)
+        mask[off[pdf["_d"].to_numpy(dtype=bool)]] = 1
+        if has_reset:
+            r = np.zeros(m, dtype=np.float64)
+            r[off] = pdf["_r"].to_numpy(dtype=np.float64)
+            rbytes = r.tobytes()
+        else:
+            rbytes = None
+        return pd.DataFrame(
+            {"bucket": [b], "dang_mask": [mask.tobytes()], "reset_arr": [rbytes]}
+        )
+
     return (
-        r.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        # co-partition with the canonical rank layout (hash on vid, same
-        # partition count) → the per-superstep ranks⋈routes join is
-        # exchange-free on both sides
-        .repartition(partitions, "vid")
-        .sortWithinPartitions("vid")
+        flagged.withColumn("bucket", F.pmod(F.col("vid"), F.lit(P)).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(compile_aux, schema=AUX_SCHEMA)
     )
 
 
-def make_csr_step(blocks: DataFrame, routes: DataFrame, n_buckets: int):
-    """Returns step_fn(ranks_vid_df) -> contribs(vid, contrib) using the
-    cached CSR blocks + routes. ranks must have columns (vid, pr)."""
+def _iterate_csr_fused(
+    blocks_aux: DataFrame,
+    routes: DataFrame,
+    n: int,
+    nnz: int,
+    dangling_mass0: float,
+    ranks0: DataFrame,
+    *,
+    start_iter: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    fixed_iters: int | None,
+    partitions: int,
+    broadcast_frontier: bool,
+    checkpointer=None,
+):
+    """The fused superstep loop. Math is identical to pagerank._iterate
+    (same damping/dangling/delta formulas, verified by the cross-kernel
+    1e-12 differential) — only the physical fusion differs.
 
-    def spmv(key, block_pdf: pd.DataFrame, routed_pdf: pd.DataFrame) -> pd.DataFrame:
-        if block_pdf.empty or routed_pdf.empty:
-            return pd.DataFrame(
-                {"vid": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")}
-            )
-        n_src = int(block_pdf["n_src"].iloc[0])
-        src_idx = np.frombuffer(block_pdf["src_idx"].iloc[0], dtype=np.int64)
-        indptr = np.frombuffer(block_pdf["indptr"].iloc[0], dtype=np.int64)
-        dst_vid = np.frombuffer(block_pdf["dst_vid"].iloc[0], dtype=np.int64)
-        w = np.frombuffer(block_pdf["weight"].iloc[0], dtype=np.float64)
-        x = np.zeros(n_src, dtype=np.float64)
-        x[routed_pdf["pos"].to_numpy(dtype=np.int64)] = routed_pdf["pr"].to_numpy(
-            dtype=np.float64
-        )
-        contrib = w * x[src_idx]                      # vectorized gather+mul
-        sums = np.add.reduceat(contrib, indptr[:-1])  # CSR segment sum — FINAL per dst
-        return pd.DataFrame({"vid": dst_vid, "contrib": sums})
+    ``broadcast_frontier=True`` (n ≤ BROADCAST_ROW_LIMIT): the rank
+    vector is broadcast-joined onto the bucket-partitioned routes, so a
+    superstep runs with ZERO shuffle exchanges — one Arrow cogroup stage
+    plus a scalar agg. ``False`` (scale mode): ranks merge-join the
+    vid-partitioned routes and the routed frontier exchanges into its
+    dst buckets — the frontier-sized shuffles a distributed PageRank
+    fundamentally pays; never a full-vector broadcast."""
+    from pagerank_optimization_spark.operators.pagerank import PageRankResult
+    from pagerank_optimization_spark.session import iterative_conf
 
-    def step(ranks: DataFrame) -> DataFrame:
-        routed = routes.join(ranks, "vid")  # exchange-free: both hash(vid, P)
-        return (
-            blocks.groupBy("bucket")
-            .cogroup(routed.groupBy("bucket"))
-            .applyInPandas(spmv, schema=CONTRIB_SCHEMA)
-        )
+    P = partitions
+    spark = blocks_aux.sparkSession
 
-    return step
+    if broadcast_frontier:
+        # the frontier fits on the driver BY MODE DEFINITION (that is what
+        # made broadcasting it safe) — hold it as a vid-sorted pandas frame
+        # between supersteps. createDataFrame(local) is a LocalRelation, so
+        # the per-superstep broadcast build needs no collect job, and the
+        # loop-carried scalars reduce in a FIXED numpy order (vid-sorted —
+        # stronger FP determinism than a partial-agg merge).
+        if not isinstance(ranks0, pd.DataFrame):
+            ranks0 = ranks0.toPandas()
+        ranks_pdf = ranks0.sort_values("vid", kind="mergesort", ignore_index=True)
+        ranks = None
+    else:
+        if isinstance(ranks0, pd.DataFrame):
+            ranks0 = spark.createDataFrame(ranks0, "vid long, pr double")
+        ranks_pdf = None
+        ranks = ranks0.localCheckpoint(eager=True)
+    dangling_mass = dangling_mass0
+    k = fixed_iters if fixed_iters is not None else max_iter
+    deltas: list[float] = []
+    metrics: list[dict[str, Any]] = []
+    converged = False
+
+    with iterative_conf(spark):
+        for it in range(start_iter, k):
+            t0 = time.monotonic()
+            dm, d_, n_ = float(dangling_mass), float(damping), int(n)
+
+            def fused(key, blk: pd.DataFrame, routed: pd.DataFrame) -> pd.DataFrame:
+                b = int(key[0])
+                m = _bucket_size(n_, b, P)
+                if m == 0:
+                    return pd.DataFrame(
+                        {c: pd.Series(dtype=t) for c, t in
+                         [("vid", "int64"), ("pr", "float64"),
+                          ("abs_delta", "float64"), ("dang_pr", "float64")]}
+                    )
+                pos = routed["pos"].to_numpy(dtype=np.int64)
+                pr = routed["pr"].to_numpy(dtype=np.float64)
+                own = routed["tag"].to_numpy(dtype=np.int8) == 0
+                old = np.zeros(m, dtype=np.float64)
+                old[pos[own]] = pr[own]
+                acc = np.zeros(m, dtype=np.float64)
+                reset_arr = None
+                if not blk.empty:
+                    row = blk.iloc[0]
+                    if row["src_idx"] is not None:
+                        src_idx = np.frombuffer(row["src_idx"], dtype=np.int64)
+                        indptr = np.frombuffer(row["indptr"], dtype=np.int64)
+                        dst_local = np.frombuffer(row["dst_local"], dtype=np.int64)
+                        w = np.frombuffer(row["weight"], dtype=np.float64)
+                        x = np.zeros(int(row["n_src"]), dtype=np.float64)
+                        x[pos[~own]] = pr[~own]
+                        contrib = w * x[src_idx]                   # gather+mul
+                        acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
+                    mask = np.frombuffer(row["dang_mask"], dtype=np.uint8).astype(bool)
+                    if row["reset_arr"] is not None:
+                        reset_arr = np.frombuffer(row["reset_arr"], dtype=np.float64)
+                else:  # bucket with vertices but no aux row cannot happen; guard
+                    mask = np.zeros(m, dtype=bool)
+                if reset_arr is not None:
+                    base = ((1.0 - d_) + d_ * dm) * reset_arr
+                else:
+                    base = (1.0 - d_) / n_ + d_ * dm / n_
+                new = base + d_ * acc
+                return pd.DataFrame(
+                    {
+                        "vid": b + P * np.arange(m, dtype=np.int64),
+                        "pr": new,
+                        "abs_delta": np.abs(new - old),
+                        "dang_pr": np.where(mask, new, 0.0),
+                    }
+                )
+
+            if broadcast_frontier:
+                # LocalRelation broadcast (driver-held frontier, no collect
+                # job); BHJ keeps the routes' bucket partitioning → the
+                # cogroup needs NO exchange: the whole superstep is ONE job
+                ranks_df = spark.createDataFrame(ranks_pdf, "vid long, pr double")
+                routed = routes.join(F.broadcast(ranks_df), "vid")
+                state = (
+                    blocks_aux.groupBy("bucket")
+                    .cogroup(routed.select("bucket", "pos", "pr", "tag").groupBy("bucket"))
+                    .applyInPandas(fused, schema=STATE_SCHEMA)
+                )
+                pdf = state.toPandas().sort_values(
+                    "vid", kind="mergesort", ignore_index=True
+                )
+                delta = float(pdf["abs_delta"].to_numpy().sum())
+                next_dm = float(pdf["dang_pr"].to_numpy().sum())
+                ranks_pdf = pdf[["vid", "pr"]]
+            else:
+                routed = routes.hint("merge").join(ranks, "vid")
+                state = (
+                    blocks_aux.groupBy("bucket")
+                    .cogroup(routed.select("bucket", "pos", "pr", "tag").groupBy("bucket"))
+                    .applyInPandas(fused, schema=STATE_SCHEMA)
+                )
+                state = state.localCheckpoint(eager=False)
+                # ONE scalar job materializes the checkpoint AND reads the
+                # loop-carried scalars (no join against the previous vector)
+                delta, next_dm = (
+                    state.agg(
+                        F.sum("abs_delta").alias("delta"),
+                        F.coalesce(F.sum("dang_pr"), F.lit(0.0)).alias("dm"),
+                    ).collect()[0]
+                )
+                ranks = state.select("vid", "pr")
+            deltas.append(float(delta))
+            row = {
+                "superstep": it,
+                "l1_delta": float(delta),
+                "edges_processed": int(nnz),
+                "wall_ms": (time.monotonic() - t0) * 1000.0,
+                "dangling_mass": float(dangling_mass),
+                "dangling_mass_next": float(next_dm),
+                "n_partitions": P,
+            }
+            metrics.append(row)
+            if checkpointer is not None:
+                if broadcast_frontier:
+                    checkpointer.save(
+                        it, spark.createDataFrame(ranks_pdf, "vid long, pr double"), row
+                    )
+                else:
+                    checkpointer.save(it, ranks, row)
+            dangling_mass = float(next_dm)
+            if fixed_iters is None and delta <= tol:
+                converged = True
+                break
+
+    if broadcast_frontier:
+        ranks = spark.createDataFrame(ranks_pdf, "vid long, pr double")
+    return PageRankResult(
+        ranks=ranks,
+        iterations=len(deltas) + start_iter,
+        converged=converged,
+        deltas=deltas,
+        metrics=metrics,
+    )
+
+
+# Compiled-layout cache — the reference's protocol distributes data ONCE
+# and times COMPUTE over repeated trials (timer_op.c:52-61 takes the min
+# AFTER the one-time DISTRIBUTE_DATA of tuned_variant_baseline.c:247-324).
+# Keyed by the exact DataFrame objects (immutable within a session), so
+# repeated pagerank() calls on the same graph skip recompilation; bounded,
+# evicted entries unpersist everything they pinned.
+from collections import OrderedDict
+
+_COMPILE_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_COMPILE_CACHE_CAP = 2
+
+
+def clear_compile_cache() -> None:
+    while _COMPILE_CACHE:
+        _, old = _COMPILE_CACHE.popitem(last=False)
+        old["release"]()
+
+
+def _compile(vertices: DataFrame, edges: DataFrame, id_col: str, partitions: int) -> dict:
+    key = (id(vertices._jdf), id(edges._jdf), id_col, partitions)
+    ent = _COMPILE_CACHE.get(key)
+    if ent is not None:
+        _COMPILE_CACHE.move_to_end(key)
+        return ent
+
+    # normalize the external id column to 'entity' for the vid mapping
+    # (works for string entities and for already-numeric ids alike);
+    # the assignment's counting pass yields n as a by-product (no extra job)
+    ids, n = vertex_ids_counted(
+        vertices.select(F.col(id_col).alias("entity")), partitions=partitions
+    )
+    if n == 0:
+        raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
+
+    # id-map joins: broadcast only while the map verifiably fits; above the
+    # limit a shuffle join (AQE may still upgrade) — a forced broadcast of a
+    # 10^9-row map is an executor OOM
+    hint = F.broadcast if n <= BROADCAST_ROW_LIMIT else (lambda df: df)
+    src_ids = ids.select(F.col("entity").alias("src"), F.col("vid").alias("src_vid"))
+    dst_ids = ids.select(F.col("entity").alias("dst"), F.col("vid").alias("dst_vid"))
+    vid_edges = (
+        edges.join(hint(src_ids), "src")
+        .join(hint(dst_ids), "dst")
+        .select(F.col("src_vid").alias("src"), F.col("dst_vid").alias("dst"), "weight")
+        .persist()  # read 3× below (blocks, routes, dangling) — translate once
+    )
+    nnz = vid_edges.count()
+
+    vids = ids.select("vid")
+    dangling_vids = vids.join(
+        vid_edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+    ).persist()
+    n_dangling = dangling_vids.count()
+
+    # DISTRIBUTE_DATA: blocks ⊕ aux (≤P rows), routes — compiled once.
+    # broadcast_frontier: below the row limit the per-superstep rank vector
+    # is broadcast (zero-exchange supersteps); above it, co-partitioned
+    # shuffles — a full-vector broadcast at 10^9 vertices is a driver OOM.
+    broadcast_frontier = n <= BROADCAST_ROW_LIMIT
+    blocks = build_csr_blocks(vid_edges, partitions)
+    aux = build_aux(vids, dangling_vids, None, n, partitions)
+    blocks_aux = (
+        aux.join(blocks, "bucket", "left").repartition(partitions, "bucket").persist()
+    )
+    routes = build_routes(
+        vid_edges, vids, partitions, partitions, bucket_layout=broadcast_frontier
+    ).persist()
+    # no forcing counts: superstep 1 materializes the caches — same work,
+    # two fewer driver round-trips in the critical setup path
+
+    def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids)):
+        for df in _frames:
+            df.unpersist()
+
+    ent = {
+        "ids": ids,
+        "n": n,
+        "nnz": nnz,
+        "vids": vids,
+        "vid_edges": vid_edges,
+        "dangling_vids": dangling_vids,
+        "n_dangling": n_dangling,
+        "broadcast_frontier": broadcast_frontier,
+        "blocks": blocks,
+        "blocks_aux": blocks_aux,
+        "routes": routes,
+        "release": release,
+        # strong refs keep the id()-based key stable for the entry's lifetime
+        "_vertices": vertices,
+        "_edges": edges,
+    }
+    _COMPILE_CACHE[key] = ent
+    if len(_COMPILE_CACHE) > _COMPILE_CACHE_CAP:
+        _, old = _COMPILE_CACHE.popitem(last=False)
+        old["release"]()
+    return ent
 
 
 def pagerank_csr(
@@ -200,51 +531,34 @@ def pagerank_csr(
 ):
     """CSR-blocks kernel entry (called via pagerank(kernel='csr-blocks')).
 
-    Runs the superstep loop in dense vid space, then maps ranks back to
-    entities; the result is column-identical to the join-agg kernel
+    Runs the fused superstep loop in dense vid space, then maps ranks back
+    to entities; the result is column-identical to the join-agg kernel
     (cross-kernel differential bar: 1e-12, SURVEY.md §5 item 3).
     ``reset``: optional personalized teleport distribution (id_col, weight)
-    — mapped into vid space and normalized here, so the kernel dispatch
-    contract is feature-uniform with join-agg (the reference's macro
-    dispatch runs every variant through the same rig,
-    build_test_rig.sh:37-48).
+    — mapped into vid space, normalized, and baked into the per-bucket aux
+    arrays, so the kernel dispatch contract is feature-uniform with
+    join-agg (the reference's macro dispatch runs every variant through
+    the same rig, build_test_rig.sh:37-48).
     """
-    from pagerank_optimization_spark.operators.pagerank import PageRankResult, _dangling_of, _iterate
+    from pagerank_optimization_spark.operators.pagerank import PageRankResult
 
-    # normalize the external id column to 'entity' for the vid mapping
-    # (works for string entities and for already-numeric ids alike)
-    ids = vertex_ids(
-        vertices.select(F.col(id_col).alias("entity")), partitions=partitions
-    ).persist()
-    n = ids.count()
-    if n == 0:
-        raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
-
-    # id-map joins: broadcast only while the map verifiably fits; above the
-    # limit a shuffle join (AQE may still upgrade) — a forced broadcast of a
-    # 10^9-row map is an executor OOM
+    ent = _compile(vertices, edges, id_col, partitions)
+    ids, n, nnz = ent["ids"], ent["n"], ent["nnz"]
+    vids, vid_edges = ent["vids"], ent["vid_edges"]
+    dangling_vids, n_dangling = ent["dangling_vids"], ent["n_dangling"]
+    broadcast_frontier = ent["broadcast_frontier"]
+    routes = ent["routes"]
     hint = F.broadcast if n <= BROADCAST_ROW_LIMIT else (lambda df: df)
-    src_ids = ids.select(F.col("entity").alias("src"), F.col("vid").alias("src_vid"))
-    dst_ids = ids.select(F.col("entity").alias("dst"), F.col("vid").alias("dst_vid"))
-    vid_edges = (
-        edges.join(hint(src_ids), "src")
-        .join(hint(dst_ids), "dst")
-        .select(F.col("src_vid").alias("src"), F.col("dst_vid").alias("dst"), "weight")
-    )
-    blocks = build_csr_blocks(vid_edges, partitions).persist()
-    blocks.count()
-    routes = build_routes(vid_edges, partitions, partitions).persist()
-    routes.count()
-    nnz = vid_edges.count()
-
-    vid_vertices = ids.select("vid").repartition(partitions, "vid").persist()
-    dangling = _dangling_of(vid_vertices, vid_edges, "vid").persist()
-    step = make_csr_step(blocks, routes, partitions)
 
     reset_vid = None
-    if reset is not None:
+    blocks_aux_local = None
+    if reset is None:
+        blocks_aux = ent["blocks_aux"]
+    else:
         # entity space → vid space; weights on unknown ids drop, then
-        # normalize over what remains (same contract as the join-agg path)
+        # normalize over what remains (same contract as the join-agg path).
+        # Personalized runs rebuild only the aux slice (reset_arr) — the
+        # blocks and routes come from the compiled cache untouched.
         reset_vid = reset.select(F.col(id_col).alias("entity"), "weight").join(
             hint(ids), "entity"
         )
@@ -254,27 +568,71 @@ def pagerank_csr(
                 "pagerank: reset distribution has no positive weight on any "
                 "graph vertex (check ids and weights)"
             )
-        reset_vid = (
-            reset_vid.select("vid", (F.col("weight") / F.lit(float(total))).alias("reset_w"))
-            .repartition(partitions, "vid")
+        reset_vid = reset_vid.select(
+            "vid", (F.col("weight") / F.lit(float(total))).alias("reset_w")
+        ).persist()
+        aux_p = build_aux(vids, dangling_vids, reset_vid, n, partitions)
+        blocks_aux_local = (
+            aux_p.join(ent["blocks"], "bucket", "left")
+            .repartition(partitions, "bucket")
             .persist()
         )
+        blocks_aux = blocks_aux_local
+
+    # resume / fresh x0 + the first superstep's dangling mass
+    start_iter = 0
+    ranks0 = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            start_iter, ranks0 = resumed
+    if ranks0 is None:
+        if reset_vid is not None:
+            ranks0 = vids.join(reset_vid, "vid", "left").select(
+                "vid", F.coalesce(F.col("reset_w"), F.lit(0.0)).alias("pr")
+            )
+            dm0 = (
+                ranks0.join(dangling_vids, "vid", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        elif broadcast_frontier:
+            # uniform x0 built driver-side (the frontier is driver-sized by
+            # mode definition) — zero Spark jobs
+            ranks0 = pd.DataFrame(
+                {"vid": np.arange(n, dtype=np.int64), "pr": np.full(n, 1.0 / n)}
+            )
+            dm0 = n_dangling / n
+        else:
+            ranks0 = vids.withColumn("pr", F.lit(1.0 / n))
+            dm0 = n_dangling / n
+    else:
+        saved = checkpointer.last_metrics() if checkpointer is not None else None
+        if saved is not None and saved.get("dangling_mass_next") is not None:
+            dm0 = float(saved["dangling_mass_next"])
+        else:
+            dm0 = (
+                ranks0.join(dangling_vids, "vid", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
 
     try:
-        res = _iterate(
-            vid_vertices,
-            "vid",
-            step,
-            dangling,
+        res = _iterate_csr_fused(
+            blocks_aux,
+            routes,
             n,
             nnz,
+            float(dm0),
+            ranks0,
+            start_iter=start_iter,
             damping=damping,
             tol=tol,
             max_iter=max_iter,
             fixed_iters=fixed_iters,
             partitions=partitions,
+            broadcast_frontier=broadcast_frontier,
             checkpointer=checkpointer,
-            reset=reset_vid,
         )
         entity_ranks = (
             res.ranks.join(ids, "vid").select(F.col("entity").alias(id_col), "pr")
@@ -287,10 +645,9 @@ def pagerank_csr(
             metrics=res.metrics,
         )
     finally:
-        blocks.unpersist()
-        routes.unpersist()
-        dangling.unpersist()
-        vid_vertices.unpersist()
-        ids.unpersist()
+        # cached compile artifacts stay persisted (released on cache
+        # eviction / clear_compile_cache); only per-call extras go
+        if blocks_aux_local is not None:
+            blocks_aux_local.unpersist()
         if reset_vid is not None:
             reset_vid.unpersist()
