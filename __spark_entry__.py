@@ -120,7 +120,10 @@ def _q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, EMB_QUERY_IDS, k=10)
 
 
-# --- rows-only queries (hash-based / UDF-backed: no portable SQL twin) ------
+# --- remaining queries -------------------------------------------------------
+# minhash/simhash/lang_quality/ivf run portable-hash variants and ARE
+# oracle-checked (twins in plans.oracle_sql_docs); media_features stays
+# rows-only (synthesized binary media has no SQL twin).
 
 
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,20 +142,23 @@ def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    # portable hash family: the DuckDB twin reproduces the permutations
+    # term for term, so the whole LSH pipeline is hash-checked
+    return minhash_lsh_pairs(docs, threshold=0.5, hasher="portable")
 
 
 def _q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, max_hamming=3)
+    # 48-bit portable simhash (hash values live below the 2^50 prime)
+    return simhash_pairs(docs, max_hamming=3, bits=48, hasher="portable")
 
 
 def _q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
-        fingerprint_expr,
         lang_id_expr,
+        portable_fingerprint_expr,
         quality_score_expr,
     )
 
@@ -161,7 +167,7 @@ def _q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lang_id_expr(F.col("text")).alias("lang_pred"),
         quality_score_expr(F.col("text")).alias("quality"),
-        fingerprint_expr(F.col("text")).alias("fingerprint"),
+        portable_fingerprint_expr(F.col("text")).alias("fingerprint"),
     )
 
 
@@ -169,7 +175,9 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3)
+    # min-id seeding + zero Lloyd rounds: the quantizer is then fully
+    # SQL-expressible, so even the ANN path gets a value-hash oracle
+    return ivf_topk(emb, EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3, iters=0, init="min_id")
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,11 +217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
-        # hash-based / UDF-backed (rows-only driver check; pytest oracles)
+        # portable-hash variants (oracle-checked — twins reproduce the
+        # polynomial hash family / min-id IVF seeding exactly)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_lang_quality": _q_docs_lang_quality,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
     }
 
@@ -233,4 +243,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
         "events_sessionize": _sessions.sessionize_sql(1800),
         "events_session_stats": _sessions.session_stats_sql(1800),
+        # portable-hash twins (the operators run with hasher="portable" /
+        # init="min_id" above so every pipeline stage is reproducible)
+        "docs_minhash_pairs": osql_docs.docs_minhash_pairs_sql(
+            num_perm=64, bands=16, k=3, threshold=0.5, max_bucket_size=500
+        ),
+        "docs_simhash_pairs": osql_docs.docs_simhash_pairs_sql(max_hamming=3, bits=48),
+        "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
+        "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

@@ -108,3 +108,35 @@ def fingerprint_expr(text: Column) -> Column:
     the cheap first pass before MinHash."""
     normalized = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
     return F.xxhash64(F.trim(normalized))
+
+
+# --- engine-portable hashing -------------------------------------------------
+# xxhash64 is the production hash (one JVM intrinsic per value), but no
+# other engine reproduces it. The portable polynomial hash below is
+# arithmetic-only (h = (h*31 + codepoint) mod P, P prime < 2^50 so every
+# intermediate stays < 2^63 under ANSI arithmetic) and is reproduced
+# verbatim in the DuckDB oracle twins (plans.oracle_sql_docs) — it makes
+# MinHash/SimHash/fingerprint oracle-checkable end to end, mirroring how
+# the reference verifies EVERY variant (verify_op.c:196-254).
+
+POLY_P = 1_125_899_906_842_597  # largest prime < 2^50
+POLY_H0 = 7
+
+
+def poly_hash_expr(s: Column) -> Column:
+    """Portable polynomial string hash (codegen'd fold over characters).
+    Matches plans.oracle_sql_docs.POLY_SQL exactly, including the
+    empty-string case (filtered char list → returns H0)."""
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(POLY_H0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(POLY_P),
+    )
+
+
+def portable_fingerprint_expr(text: Column) -> Column:
+    """fingerprint_expr with the portable hash — same normalization, same
+    equality classes (modulo hash width), DuckDB-oracle-checkable."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+    return poly_hash_expr(normalized)

@@ -24,7 +24,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from pagerank_optimization_spark.functions.text import fingerprint_expr, tokens_expr
+from pagerank_optimization_spark.functions.text import (
+    POLY_P,
+    fingerprint_expr,
+    poly_hash_expr,
+    tokens_expr,
+)
+
+# MinHash permutation family over the portable polynomial hash:
+# h_i(x) = (A_i·poly(x) + B_i) mod P with A_i = 2i+1 (odd, coprime to 2^k),
+# B_i = i·1e9+7 mod P. A_i ≤ 127 and poly(x) < 2^50 keep every product
+# < 2^57 — ANSI-safe in both Spark and DuckDB (the oracle twin reproduces
+# this family term for term, plans.oracle_sql_docs.docs_minhash_pairs_sql).
+MINHASH_A = lambda i: 2 * i + 1  # noqa: E731
+MINHASH_B = lambda i: (i * 1_000_000_007) % POLY_P  # noqa: E731
+# SimHash bit scramble: 3 rounds of (h·m + a) mod P with small multipliers
+# (each m ≤ 2^13 keeps every product < 2^63 — ANSI-safe). One round leaves
+# bit correlations that collapse simhash discrimination (measured: 3260
+# hamming≤3 pairs on the sf0.01 corpus vs 187 with a cryptographic 48-bit
+# hash); three rounds land at 49 — the same regime.
+SIMHASH_ROUNDS = ((8191, 131_071), (4099, 92_821), (5407, 40_503))
 
 
 def exact_dedup(documents: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -100,15 +119,30 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """→ (doc_id, sig array<long>): MinHash signature per document.
-    Permutation i is min over shingles of xxhash64(shingle, seed+i) — one
-    hash-groupBy with num_perm JVM-side min aggregates (no UDF)."""
+    Permutation i is min over shingles of hash_i(shingle) — one
+    hash-groupBy with num_perm JVM-side min aggregates (no UDF).
+
+    ``hasher``: "xxhash64" (production — JVM intrinsic) or "portable"
+    (polynomial mod-prime family, bit-identical in the DuckDB oracle)."""
     sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
+    if hasher == "portable":
+        sh = sh.withColumn("_hs", poly_hash_expr(F.col("shingle")))
+        mins = [
+            F.min(
+                (F.col("_hs") * F.lit(MINHASH_A(i)) + F.lit(MINHASH_B(i))) % F.lit(POLY_P)
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    elif hasher == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     sigs = sh.groupBy(id_col).agg(*mins)
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
@@ -124,23 +158,31 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     seed: int = 42,
     max_bucket_size: int = 500,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-level verification:
     → (a, b, est_jaccard) with a < b, est_jaccard (matching signature
     fraction) ≥ threshold. Sub-quadratic: pairs are only generated inside
     band buckets; bucket size capped (skew guard for boilerplate-heavy
-    corpora)."""
+    corpora). ``hasher="portable"`` uses the oracle-reproducible hash
+    family and joins on the raw band-key string (no re-hash — the oracle
+    must see identical buckets)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(
-        documents, num_perm=num_perm, k=k, id_col=id_col, text_col=text_col, seed=seed
+        documents, num_perm=num_perm, k=k, id_col=id_col, text_col=text_col,
+        seed=seed, hasher=hasher,
     ).persist()
+
+    def band_key(bi: int):
+        key = F.concat_ws(
+            ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+        )
+        return key if hasher == "portable" else F.xxhash64(key)
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)])).alias("bh"),
-            )
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
             for bi in range(bands)
         ]
     )
@@ -180,13 +222,25 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """→ (doc_id, simhash long): per-bit majority vote over token hashes —
-    bits columns of JVM-side sums, reassembled into one 64-bit value."""
+    bits columns of JVM-side sums, reassembled into one 64-bit value.
+    ``hasher="portable"`` (oracle-reproducible) yields ≤ 50 usable bits
+    (hash values live below the 2^50 prime) — pass bits ≤ 48."""
     toks = documents.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    if hasher == "portable":
+        if bits > 48:
+            raise ValueError("portable simhash supports at most 48 bits")
+        h = poly_hash_expr(F.col("tok"))
+        for m, a in SIMHASH_ROUNDS:
+            h = (h * F.lit(m) + F.lit(a)) % F.lit(POLY_P)
+    elif hasher == "xxhash64":
+        h = F.xxhash64(F.col("tok"), F.lit(seed))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -206,19 +260,27 @@ def simhash_pairs(
     documents: DataFrame,
     *,
     max_hamming: int = 3,
+    bits: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: → (a, b, hamming ≤ max_hamming), a < b.
-    Candidates via 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some
-    16-bit chunk is identical), verified with bit_count(xor)."""
-    sims = simhash(documents, id_col=id_col, text_col=text_col, seed=seed).persist()
+    Candidates via 4×(bits/4)-bit chunk banding, verified with
+    bit_count(xor). Recall is EXACT for max_hamming ≤ 3 (pigeonhole: some
+    chunk must be identical); above 3 the chunk-banding is best-effort."""
+    assert bits % 4 == 0
+    width = bits // 4
+    mask = (1 << width) - 1
+    sims = simhash(
+        documents, bits=bits, id_col=id_col, text_col=text_col, seed=seed, hasher=hasher
+    ).persist()
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+                F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("ch"),
             )
             for c in range(4)
         ]

@@ -156,18 +156,24 @@ def ivf_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: k-means over unit vectors with
-    hash-ordered initialization (no RNG state) and ``iters`` Lloyd rounds —
+    deterministic initialization (no RNG state) and ``iters`` Lloyd rounds —
     each round one broadcast-join + groupBy (assignment is a literal-array
     argmin, means are per-dimension aggregates). Centroids are tiny and
-    live on the driver, like the rank-loop scalars."""
+    live on the driver, like the rank-loop scalars.
+
+    ``init``: "hash" (smallest xxhash64(id) — spread seeds) or "min_id"
+    (smallest ids — the SQL-reproducible choice; with iters=0 the whole
+    quantizer is expressible in the DuckDB oracle,
+    plans.oracle_sql_docs.emb_ivf_topk_sql)."""
     import numpy as np
 
     uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
-    # deterministic seeds: the n_centroids vectors with smallest xxhash64(id)
+    order = F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
     seeds = (
-        uni.withColumn("h", F.xxhash64(F.col(id_col)))
+        uni.withColumn("h", order)
         .orderBy("h")
         .limit(n_centroids)
         .select("unit")
@@ -220,6 +226,7 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
 ) -> DataFrame:
     """IVF approximate top-k: corpus inverted-listed by nearest centroid
     (computed once, reusable), queries probe their ``nprobe`` nearest
@@ -227,7 +234,7 @@ def ivf_topk(
     cosine_topk. The 100 TB path: per-query work is corpus/|C|·nprobe."""
     import numpy as np
 
-    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col))
+    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, init=init))
     uni = with_unit_vectors(embeddings, vec_col=vec_col)
     corpus = _assign_centroid(uni.select(F.col(id_col), "unit"), cents).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"), F.col("cid").alias("ccid")

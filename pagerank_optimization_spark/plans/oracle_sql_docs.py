@@ -11,8 +11,25 @@ Tokenization parity contract (Spark ⇄ DuckDB):
 
 from __future__ import annotations
 
+from pagerank_optimization_spark.functions.text import POLY_H0, POLY_P, STOPWORDS
+from pagerank_optimization_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    SIMHASH_ROUNDS,
+)
+
 TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 NORM = r"trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _poly(expr: str) -> str:
+    """DuckDB twin of functions.text.poly_hash_expr — identical fold,
+    identical modulus, identical empty-string behavior (→ H0)."""
+    return (
+        f"list_reduce(list_prepend({POLY_H0}::BIGINT, "
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
+        f"c -> ord(c)::BIGINT)), (a, x) -> (a*31 + x) % {POLY_P})"
+    )
 
 
 def docs_token_stats_sql() -> str:
@@ -102,6 +119,230 @@ scored AS (
          list_inner_product(q.e, c.e) / (greatest(q.nrm, 1e-12) * greatest(c.nrm, 1e-12)) AS cos_raw
   FROM u q JOIN u c ON c.vec_id <> q.vec_id
   WHERE q.vec_id IN ({qlist})
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def docs_lang_quality_sql() -> str:
+    """doc_id, lang_pred, quality, fingerprint — mirrors
+    functions.text.{lang_id,quality_score,portable_fingerprint}_expr.
+    The ratio comparisons are int/int divisions on both engines — the
+    same rationals, so float equality in the argmax is exact."""
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+    langs = sorted(STOPWORDS)  # alphabetical = the Spark tie-break order
+    ratio_cols = ",\n         ".join(
+        f"{hits(lang)} / greatest(len(toks), 1) AS r_{lang}" for lang in langs
+    )
+    rmax = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    winner = "CASE WHEN {rmax} <= 0.0 THEN 'und' ".format(rmax=rmax)
+    for lang in langs[:-1]:
+        winner += f"WHEN r_{lang} = {rmax} THEN '{lang}' "
+    winner += f"ELSE '{langs[-1]}' END"
+    sw_en = f"least((r_en) * 5.0, 1.0)"
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+),
+r AS (
+  SELECT doc_id, text, toks,
+         {ratio_cols},
+         len(toks) AS n_tok,
+         length(regexp_replace(lower(text), '\s+', '', 'g'))
+           / greatest(len(toks), 1) AS wl,
+         (greatest(length(text), 1) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio
+  FROM t
+)
+SELECT doc_id,
+       {winner} AS lang_pred,
+       round(0.3 * least(n_tok / 100.0, 1.0)
+           + 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.3 END)
+           + 0.3 * {sw_en}
+           + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) AS quality,
+       {_poly(NORM)} AS fingerprint
+FROM r
+"""
+
+
+def docs_minhash_pairs_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+) -> str:
+    """a, b, est_jaccard — mirrors operators.dedup.minhash_lsh_pairs with
+    hasher='portable': same shingles, same permutation family
+    ((A_i·poly + B_i) mod P), same band keys, same bucket cap, same
+    signature-match verification."""
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min((h*{MINHASH_A(i)} + {MINHASH_B(i)}) % {POLY_P}) AS m{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS bh FROM sig".format(
+            band=bi,
+            key=", ',', ".join(f"m{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM t, unnest(list_transform(
+        range(1, greatest(len(toks) - {k}, 0) + 2),
+        i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS u(s)
+  WHERE len(string_split(s, ' ')) = {k}
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, {_poly('shingle')} AS h FROM sh
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  {band_selects}
+),
+bsz AS (SELECT band, bh, count(*) AS bs FROM banded GROUP BY 1, 2),
+b2 AS (
+  SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+  WHERE bs <= {max_bucket_size}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM b2 x JOIN b2 y USING (band, bh)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b,
+       round(({matches}) / {float(num_perm)}, 8) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.a = sa.doc_id
+JOIN sig sb ON cand.b = sb.doc_id
+WHERE ({matches}) / {float(num_perm)} >= {threshold}
+"""
+
+
+def docs_simhash_pairs_sql(max_hamming: int = 3, bits: int = 48) -> str:
+    """a, b, hamming — mirrors operators.dedup.simhash_pairs with
+    hasher='portable', bits=48: same token hash + scramble, same per-bit
+    majority votes, same 4-chunk pigeonhole banding, same bit_count(xor)
+    verification."""
+    width = bits // 4
+    mask = (1 << width) - 1
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (g >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    chunk_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS ch FROM sim"
+        for c in range(4)
+    )
+    scramble = _poly("tok")
+    for m, a in SIMHASH_ROUNDS:
+        scramble = f"(({scramble}) * {m} + {a}) % {POLY_P}"
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, tk AS tok FROM t, unnest(toks) AS u(tk)
+),
+h AS MATERIALIZED (
+  SELECT doc_id, {scramble} AS g
+  FROM tok
+),
+votes AS MATERIALIZED (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sim AS MATERIALIZED (
+  SELECT doc_id, {assemble} AS simhash FROM votes
+),
+chunks AS MATERIALIZED (
+  {chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y USING (chunk, ch)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def emb_ivf_topk_sql(
+    query_ids: list[int], k: int = 10, n_centroids: int = 8, nprobe: int = 3
+) -> str:
+    """query_id, neighbor_id, cosine, rank — mirrors
+    operators.similarity.ivf_topk(init='min_id', iters=0): centroids are
+    the unit vectors of the n_centroids smallest ids, assignment is
+    argmax dot with cid-asc tie-break, queries probe their nprobe nearest
+    centroids (same tie-break), exact cosine re-rank inside."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+un AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / greatest(nrm, 1e-12)) AS unit FROM u
+),
+cents AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, unit
+  FROM (SELECT vec_id, unit FROM un ORDER BY vec_id LIMIT {n_centroids})
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT un.vec_id, c.cid,
+           row_number() OVER (PARTITION BY un.vec_id
+                              ORDER BY list_inner_product(un.unit, c.unit) DESC, c.cid ASC) AS rk
+    FROM un CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+qprobe AS (
+  SELECT query_id, cid FROM (
+    SELECT un.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY un.vec_id
+                              ORDER BY list_inner_product(un.unit, c.unit) DESC, c.cid ASC) AS rk
+    FROM un CROSS JOIN cents c
+    WHERE un.vec_id IN ({qlist})
+  ) WHERE rk <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_inner_product(qu.unit, cu.unit) AS cos_raw
+  FROM qprobe q
+  JOIN assign a ON a.cid = q.cid
+  JOIN un qu ON qu.vec_id = q.query_id
+  JOIN un cu ON cu.vec_id = a.vec_id
+  WHERE a.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,

@@ -67,8 +67,12 @@ def test_ngram_jaccard_matches_python(docs):
         assert abs(got[pair] - j) < 1e-6
 
 
-def test_minhash_lsh_properties(docs):
-    pairs = {(r.a, r.b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+@pytest.mark.parametrize("hasher", ["xxhash64", "portable"])
+def test_minhash_lsh_properties(docs, hasher):
+    pairs = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.4, hasher=hasher).collect()
+    }
     assert pairs[(0, 1)] == 1.0           # identical docs: all permutations agree
     assert (0, 3) in pairs                # near-dup found
     assert pairs[(0, 3)] > 0.5
@@ -81,8 +85,12 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
-def test_simhash_properties(docs):
-    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+@pytest.mark.parametrize("hasher,bits", [("xxhash64", 64), ("portable", 48)])
+def test_simhash_properties(docs, hasher, bits):
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=8, bits=bits, hasher=hasher).collect()
+    }
     assert pairs[(0, 1)] == 0             # identical text → identical simhash
     assert (0, 3) in pairs and pairs[(0, 3)] <= 8
     assert not any(4 in p for p in pairs)
