@@ -168,6 +168,53 @@ def main() -> None:
             wtr.writerows(rows)
         extra["sweep"] = rows
 
+        # hub-skew row: one SOURCE owns 40% of all edges — co-partitioned
+        # by hash(src), its whole edge list lands in ONE join task every
+        # superstep. hub_split_degree="auto" (out-degree probe + salted
+        # edge split, plans.partitioning) spreads it. The decisive metric
+        # at cluster scale is the PARTITION BALANCE (max task's edge share
+        # bounds the parallel speedup of every superstep); local wall
+        # times are reported too, but a 200k-row task is sub-second on one
+        # JVM, so the local walls sit at the scheduling floor either way.
+        # (dst-side hubs need no defense — map-side partial aggregation
+        # already combines them; measured and documented in
+        # plans.partitioning.)
+        from pagerank_optimization_spark.plans.partitioning import with_src_degree_salt
+
+        hv = spark.range(600_000).selectExpr("concat('v', id) AS entity")
+        he = spark.range(500_000).selectExpr(
+            "CASE WHEN id % 10 < 4 THEN 'v0' ELSE concat('v', id) END AS src",
+            "concat('v', (id * 37) % 600000) AS dst",
+            "1.0 AS weight",
+        ).persist()
+        he.count()
+
+        def balance(df, *keys):
+            parts = (
+                df.repartition(cpus, *keys)
+                .select(F.spark_partition_id().alias("p"))
+                .groupBy("p").count().collect()
+            )
+            counts = [r["count"] for r in parts]
+            return round(max(counts) * len(counts) / sum(counts), 2)
+
+        hub_row = {"max_task_skew_split_off": balance(he, "src")}
+        salted, _hubs = with_src_degree_salt(he, max_deg=10_000)
+        hub_row["max_task_skew_split_auto"] = balance(salted, "src", "ssalt")
+        for mode, split in (("off", None), ("auto", "auto")):
+            best = None
+            for _ in range(trials):
+                t0 = time.monotonic()
+                pagerank(hv, he, fixed_iters=5, partitions=cpus, hub_split_degree=split)
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+            hub_row[f"wall_s_min_split_{mode}"] = round(best, 3)
+            log(f"hub-skew split={mode}: {best:.2f}s")
+        he.unpersist()
+        log(f"hub-skew max-task/mean: off={hub_row['max_task_skew_split_off']}x "
+            f"auto={hub_row['max_task_skew_split_auto']}x")
+        extra["hub_skew_500k_edges_k5"] = hub_row
+
     total = time.monotonic() - t0_all
     out = {
         "metric": "total wall seconds, headline link-graph suite (PageRank k10 both kernels, converged PageRank, CC, LPA, triangles) on transcript graph derived from events",

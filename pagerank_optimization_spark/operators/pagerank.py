@@ -252,10 +252,18 @@ def pagerank(
     reference's fixed k0, tuned_variant_baseline.c:120); otherwise iterate
     to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks"}.
 
-    ``hub_split_degree``: enable degree-based edge splitting for power-law
-    in-degree hubs (join-agg kernel only): destinations with in-degree
-    above the threshold aggregate in two phases over deterministic salts
-    (plans.partitioning) — identical results, bounded per-key reduce work.
+    ``hub_split_degree``: degree-based edge splitting for power-law hubs
+    (join-agg kernel only). Pass "auto" to probe the OUT-degree histogram
+    once and split hub sources' edge lists over deterministic salts when
+    max outdeg exceeds both ratio·p99 and a floor — the join side is where
+    a hub becomes one task's whole partition every superstep (documented
+    bound + measurements in plans.partitioning; AQE skew-join is OFF
+    inside the loop, so this is the only in-loop skew defense). An integer
+    value selects the legacy dst-side two-phase agg split — only needed
+    for aggregations without map-side combine; the contribution sum has
+    partial+final HashAggregate and handles in-degree hubs natively.
+    The csr-blocks kernel needs no salting: a hub's edges are contiguous
+    CSR segments reduced vectorized inside evenly-sized buckets.
 
     ``reset``: personalized/topic-sensitive PageRank — a DataFrame
     (id_col, weight ≥ 0, any scale; normalized internally). Teleport and
@@ -289,11 +297,31 @@ def pagerank(
     # (tuned_variant_baseline.c:247-324): co-partition edges on the join key
     # once; every superstep's join reuses this exchange and only the rank
     # frontier shuffles
+    src_split_hubs = None
+    if hub_split_degree == "auto":
+        # out-degree histogram probe: the join side is where a hub
+        # becomes one task's whole edge list (documented bound + measured
+        # evidence in plans.partitioning)
+        from pagerank_optimization_spark.plans.partitioning import (
+            auto_hub_split_degree,
+            with_src_degree_salt,
+        )
+
+        hub_split_degree = None
+        thr = auto_hub_split_degree(edges)
+        if thr is not None:
+            edges, src_split_hubs = with_src_degree_salt(edges, max_deg=thr)
+            src_split_hubs = src_split_hubs.persist()
     if hub_split_degree is not None:
+        # explicit dst-side two-phase agg split (for aggregation paths
+        # without map-side combine; the join-agg sum does not need it)
         from pagerank_optimization_spark.plans.partitioning import with_degree_salt
 
         edges = with_degree_salt(edges, max_deg=hub_split_degree)
-    edges = edges.repartition(partitions, "src").persist()
+    if src_split_hubs is not None:
+        edges = edges.repartition(partitions, "src", "ssalt").persist()
+    else:
+        edges = edges.repartition(partitions, "src").persist()
     # vertices co-partitioned with the canonical rank layout: the
     # per-superstep left join (restore zero-contribution vertices, P2 of
     # SURVEY §2.2) then never re-shuffles the vertex side
@@ -317,7 +345,11 @@ def pagerank(
         reset = reset.select(id_col, (F.col("weight") / F.lit(float(total))).alias("reset_w"))
         reset = reset.repartition(partitions, id_col).persist()
 
-    if hub_split_degree is not None:
+    if src_split_hubs is not None:
+        from pagerank_optimization_spark.plans.partitioning import src_salted_pagerank_step
+
+        step = src_salted_pagerank_step(edges, src_split_hubs, id_col)
+    elif hub_split_degree is not None:
         from pagerank_optimization_spark.plans.partitioning import salted_pagerank_step
 
         step = salted_pagerank_step(edges, id_col)
@@ -349,3 +381,5 @@ def pagerank(
         edges.unpersist()
         dangling.unpersist()
         vertices.unpersist()
+        if src_split_hubs is not None:
+            src_split_hubs.unpersist()

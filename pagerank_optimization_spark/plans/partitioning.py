@@ -29,6 +29,115 @@ def in_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("dst").agg(F.count("*").alias("indeg"))
 
 
+# Auto hub-split bound (documented contract). WHICH side skews matters:
+#
+# - dst (in-degree) hubs do NOT need salting in the join-agg superstep:
+#   the contribution groupBy(dst) runs partial+final HashAggregate, so a
+#   10^7-in-degree hub reduces to ≤ P partial rows before the shuffle
+#   (measured: a 50k-in-degree hub on 500k edges runs at uniform-graph
+#   speed unsalted, while dst-salting costs an extra shuffle — 2× slower).
+#   with_degree_salt/two_phase_contrib_sum stay for aggregation paths
+#   WITHOUT map-side combine (e.g. collect_list-style aggs).
+# - src (out-degree) hubs ARE the genuine straggler: edges co-partitioned
+#   by hash(src) put ALL of a hub's out-edges in ONE partition, so one
+#   join task carries the hub's whole edge list every superstep
+#   (measured: a 40%-share src hub → 27% slower at local[32]; at 1000
+#   executors the imbalance is fatal). with_src_degree_salt spreads the
+#   hub's edge list over ceil(outdeg/max_deg) salts and replicates ONLY
+#   hub rank rows across them.
+#
+# Auto trigger: max out-degree exceeds BOTH `ratio`×p99 (outlier, not the
+# bulk) AND `min_deg` (below ~10k rows a task is cheap anywhere). Salt
+# threshold = max(min_deg, ratio·p99). This matters because AQE (whose
+# skew-join would otherwise help) is deliberately OFF inside superstep
+# loops (session.iterative_conf). The csr-blocks kernel needs none of
+# this: a hub's edges are contiguous CSR segments reduced by vectorized
+# np.add.reduceat inside an evenly-sized bucket.
+HUB_SPLIT_AUTO_MIN_DEG = 10_000
+HUB_SPLIT_AUTO_RATIO = 4.0
+
+
+def auto_hub_split_degree(
+    edges: DataFrame,
+    *,
+    key: str = "src",
+    min_deg: int = HUB_SPLIT_AUTO_MIN_DEG,
+    ratio: float = HUB_SPLIT_AUTO_RATIO,
+) -> int | None:
+    """→ salt threshold (int) when the ``key``-degree histogram says the
+    graph is hub-skewed, else None. One aggregation over the edge list —
+    run at DISTRIBUTE_DATA time, decided once for the superstep loop."""
+    row = (
+        edges.groupBy(key)
+        .agg(F.count("*").alias("deg"))
+        .agg(
+            F.max("deg").alias("mx"),
+            F.expr("approx_percentile(deg, 0.99)").alias("p99"),
+        )
+        .collect()[0]
+    )
+    if row["mx"] is None:
+        return None
+    threshold = max(min_deg, int(ratio * float(row["p99"])))
+    return threshold if row["mx"] > threshold else None
+
+
+def with_src_degree_salt(
+    edges: DataFrame, *, max_deg: int = 10_000
+) -> tuple[DataFrame, DataFrame]:
+    """Join-side hub defense: srcs with outdeg > max_deg get their edge
+    list spread over ceil(outdeg/max_deg) salts by xxhash64(dst)
+    (deterministic, no RNG). → (edges + ssalt, hubs(src, n_salts)).
+    The hubs table holds ONLY the outlier srcs — tiny by the auto bound's
+    p99 construction, safe to broadcast."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).filter(
+        F.col("outdeg") > max_deg
+    )
+    hubs = deg.select(
+        "src", F.ceil(F.col("outdeg") / F.lit(max_deg)).cast("int").alias("n_salts")
+    )
+    salted = (
+        edges.join(F.broadcast(hubs), "src", "left")
+        .withColumn(
+            "ssalt",
+            F.when(
+                F.col("n_salts").isNotNull(),
+                F.pmod(F.xxhash64("dst"), F.col("n_salts")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salts")
+    )
+    return salted, hubs
+
+
+def src_salted_pagerank_step(salted_edges: DataFrame, hubs: DataFrame, id_col: str = "entity"):
+    """step_fn for operators.pagerank._iterate over src-salted edges:
+    hub rank rows replicate across their salt range (explode over a
+    broadcast of the tiny hubs table); the join key becomes (src, ssalt),
+    so no single task owns a hub's whole edge list. The contribution agg
+    is untouched — partial+final combine handles the dst side."""
+
+    def step(ranks: DataFrame) -> DataFrame:
+        r = (
+            ranks.withColumnRenamed(id_col, "src")
+            .join(F.broadcast(hubs), "src", "left")
+            .withColumn(
+                "ssalt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("n_salts")
+        )
+        return (
+            salted_edges.join(r, ["src", "ssalt"], "inner")
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.sum(F.col("weight") * F.col("pr")).alias("contrib"))
+        )
+
+    return step
+
+
 def with_degree_salt(edges: DataFrame, *, max_deg: int = 10_000) -> DataFrame:
     """Adds ``salt`` (int): 0 for normal dsts; hash-spread over
     ceil(indeg/max_deg) values for hub dsts. One broadcast join against the

@@ -16,10 +16,22 @@ Semantics reproduced exactly:
   counts degree per column); we emit (src=j, dst=i) directly;
 - default seed densities {0.91, 0.75, 0.63, 0.52} (verify_op.c:160-162).
 
-The m² cell sweep matches the reference and is fine for parity testing
-(m ≤ 4096 ⇒ ≤ 16M cells, a single spark.range). At web scale one would
-switch to R-MAT ball-dropping (sample nnz edges by recursive quadrant
-choice) — same distribution, O(nnz) work; noted, not needed here.
+Two sampling strategies behind one API (``kronecker_edges(method=...)``):
+
+- ``exact``  — the reference's m² cell sweep, one Bernoulli draw per cell
+  (pagerank.c:180-208). Fine to m ≤ 4096 (≤ 16M cells, one spark.range);
+  O(m²) regardless of density, a non-starter at web scale.
+- ``rmat``   — R-MAT ball-dropping (Chakrabarti-Zhan-Faloutsos, SDM'04):
+  drop E = round((Σ seed)^depth) balls, each choosing a quadrant per
+  recursion level with probabilities proportional to the seed densities;
+  duplicates collapse (the Bernoulli model is 0/1). O(nnz · depth) work —
+  the 100 TB generator path. Degree distributions match the exact sweep
+  (KS-tested at m=1024, tests/test_kronecker.py).
+- ``auto``   — exact for m ≤ 4096, rmat above.
+
+Both are deterministic in (m, seed, densities): every random draw is an
+xxhash64 of (ball id, level, seed) — no RNG state, identical output at
+any parallelism.
 """
 
 from __future__ import annotations
@@ -57,16 +69,27 @@ def kron_probability_expr(i, j, m: int, densities=DEFAULT_SEED_DENSITIES):
     )
 
 
+EXACT_SWEEP_MAX_M = 4096
+
+
 def kronecker_edges(
     spark: SparkSession,
     m: int,
     *,
     seed: int = 42,
     densities=DEFAULT_SEED_DENSITIES,
+    method: str = "auto",
 ) -> DataFrame:
-    """→ edges(src long, dst long): one Bernoulli(P(i,j)) draw per cell of
-    the m×m adjacency, emitted as (src=j, dst=i) per the reference's
-    column→row edge convention. Deterministic in (m, seed, densities)."""
+    """→ edges(src long, dst long), emitted as (src=j, dst=i) per the
+    reference's column→row edge convention. Deterministic in
+    (m, seed, densities). ``method``: "exact" (m² Bernoulli sweep),
+    "rmat" (O(nnz) ball-drop), or "auto" (exact ≤ {EXACT_SWEEP_MAX_M})."""
+    if method == "auto":
+        method = "exact" if m <= EXACT_SWEEP_MAX_M else "rmat"
+    if method == "rmat":
+        return rmat_edges(spark, m, seed=seed, densities=densities)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
     cells = spark.range(m * m).select(
         (F.col("id") / m).cast("long").alias("i"),
         (F.col("id") % m).alias("j"),
@@ -76,16 +99,71 @@ def kronecker_edges(
     return cells.filter(u < p).select(F.col("j").alias("src"), F.col("i").alias("dst"))
 
 
+def rmat_edges(
+    spark: SparkSession,
+    m: int,
+    *,
+    seed: int = 42,
+    densities=DEFAULT_SEED_DENSITIES,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """O(nnz) R-MAT sampler of the same Kronecker model: drop
+    E = round((Σ seed)^depth) balls (the exact sweep's EXPECTED nnz),
+    each recursing depth levels — at every level one hash-uniform draw
+    picks the quadrant with probability s_ab / Σ seed, appending one bit
+    to i and one to j. Duplicates collapse via distinct() (the Bernoulli
+    model cannot emit multi-edges); cells ≥ m (non-power-of-two m) drop.
+
+    Fully columnar: the per-level quadrant choice is a chain of depth
+    hash+compare expressions inside one whole-stage-codegen'd projection —
+    no UDF, no RNG state, deterministic at any parallelism."""
+    d = kron_depth(m)
+    (a, b), (c, dd) = densities
+    total = a + b + c + dd
+    if n_edges is None:
+        n_edges = int(round(total**d))
+    qa, qb, qc = a / total, b / total, c / total  # cum: [qa, qa+qb, qa+qb+qc, 1]
+    balls = spark.range(n_edges)
+    i = F.lit(0).cast("long")
+    j = F.lit(0).cast("long")
+    for lvl in range(d):
+        u = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(lvl), F.lit(seed)), F.lit(_U_MOD))
+        ).cast("double") / F.lit(float(_U_MOD))
+        # quadrant (bit_i, bit_j): 00 w.p. qa, 01 w.p. qb, 10 w.p. qc, 11 rest
+        bit_i = F.when(u >= F.lit(qa + qb), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit_j = (
+            F.when((u >= F.lit(qa)) & (u < F.lit(qa + qb)), F.lit(1))
+            .when(u >= F.lit(qa + qb + qc), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        i = F.shiftleft(i, 1) + bit_i
+        j = F.shiftleft(j, 1) + bit_j
+    return (
+        balls.select(i.alias("i"), j.alias("j"))
+        .filter((F.col("i") < m) & (F.col("j") < m))
+        .select(F.col("j").alias("src"), F.col("i").alias("dst"))
+        .distinct()
+    )
+
+
 def kronecker_graph(
-    spark: SparkSession, m: int, *, seed: int = 42, densities=DEFAULT_SEED_DENSITIES
+    spark: SparkSession,
+    m: int,
+    *,
+    seed: int = 42,
+    densities=DEFAULT_SEED_DENSITIES,
+    method: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """→ (vertices(vid), weighted edges(src, dst, weight=1/outdeg(src))) —
     the full `initialize_multiformat_graph` pipeline (pagerank.c:279-305)
     on a Kronecker input, ready for the PageRank kernels (id_col='vid')."""
-    edges = kronecker_edges(spark, m, seed=seed, densities=densities)
+    edges = kronecker_edges(spark, m, seed=seed, densities=densities, method=method)
     vertices = spark.range(m).select(F.col("id").alias("vid"))
+    # |V|-sized degree table: no broadcast hint (AQE decides by size)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    wedges = edges.join(F.broadcast(outdeg), "src").select(
+    wedges = edges.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("weight")
     )
     return vertices, wedges

@@ -62,6 +62,63 @@ def test_pagerank_hub_split_param(spark, graph):
     assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
 
 
+def test_auto_hub_split(spark, graph):
+    """hub_split_degree='auto' probes the OUT-degree histogram: triggers
+    on a deliberately src-hub-heavy graph, stays off on the balanced
+    fixture, and never changes results."""
+    from pagerank_optimization_spark.plans.partitioning import auto_hub_split_degree
+
+    vertices, wedges = graph
+    # balanced fixture at production bounds: no salting
+    assert auto_hub_split_degree(wedges) is None
+    # src-hub synthetic: one source owns 10% of edges, others unique →
+    # p99 outdeg = 1, max ≫ bound
+    hub = spark.range(3000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN 'hub' ELSE concat('v', id) END AS src",
+        "concat('w', id) AS dst",
+        "1.0 AS weight",
+    )
+    thr = auto_hub_split_degree(hub, min_deg=100)
+    assert thr is not None and thr >= 100
+    # no-trigger path is result-identical to plain on the fixture
+    plain = pagerank(vertices, wedges, fixed_iters=4, partitions=8)
+    auto = pagerank(vertices, wedges, fixed_iters=4, partitions=8, hub_split_degree="auto")
+    a = {r[0]: r[1] for r in plain.ranks.collect()}
+    b = {r[0]: r[1] for r in auto.ranks.collect()}
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+
+
+def test_src_split_triggered_preserves_pagerank(spark):
+    """End-to-end on a graph where 'auto' actually ENGAGES (one source's
+    outdeg exceeds the production floor): salted results match unsalted
+    to 1e-12, and the salt genuinely spread the hub's edges."""
+    from pagerank_optimization_spark.plans.partitioning import with_src_degree_salt
+
+    n = 30_000
+    edges = spark.range(n).selectExpr(
+        # half the edges come out of one hub source (outdeg 15k > 10k floor)
+        "CASE WHEN id % 2 = 0 THEN 'hub' ELSE concat('v', id) END AS src",
+        "concat('w', id % 5000) AS dst",
+        "1.0 / 15000 AS weight",
+    ).persist()
+    vertices = (
+        edges.selectExpr("src AS entity")
+        .union(edges.selectExpr("dst AS entity"))
+        .distinct()
+        .persist()
+    )
+    salted, hubs = with_src_degree_salt(edges, max_deg=10_000)
+    assert hubs.count() == 1
+    assert salted.filter("src = 'hub'").select("ssalt").distinct().count() >= 2
+    plain = pagerank(vertices, edges, fixed_iters=3, partitions=8)
+    auto = pagerank(vertices, edges, fixed_iters=3, partitions=8, hub_split_degree="auto")
+    a = {r[0]: r[1] for r in plain.ranks.collect()}
+    b = {r[0]: r[1] for r in auto.ranks.collect()}
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
+
+
 def test_salt_cardinality_bounded(graph):
     _, wedges = graph
     salted = with_degree_salt(wedges, max_deg=5)
