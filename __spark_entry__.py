@@ -68,6 +68,23 @@ def _q_pagerank_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
 
 
+def _q_ppr_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank, teleport uniform over tool entities —
+    oracle-checked end to end (unrolled SQL twin with the same reset)."""
+    vertices, edges = _graph(spark, sf_dir)
+    reset = vertices.filter(F.col("entity").startswith("tool:")).withColumn(
+        "weight", F.lit(1.0)
+    )
+    res = pagerank(vertices, edges, fixed_iters=5, reset=reset)
+    return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_optimization_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(_q_edges(spark, sf_dir))
+
+
 def _q_cc_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices, wedges = _graph(spark, sf_dir)
     return connected_components(vertices, wedges, fixed_rounds=16)
@@ -207,8 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": _q_edges,
         "graph_outdegree": _q_outdegree,
         "graph_pagerank_k5": _q_pagerank_k5,
+        "graph_ppr_k5": _q_ppr_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
+        "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
@@ -234,8 +253,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_edges": osql.edges_query_sql(),
         "graph_outdegree": osql.outdegree_query_sql(),
         "graph_pagerank_k5": osql.pagerank_query_sql(k=5),
+        "graph_ppr_k5": osql.ppr_query_sql(k=5, reset_prefix="tool:"),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
+        "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),

@@ -129,18 +129,41 @@ def sample_frames(media: DataFrame, *, every: int = 2) -> DataFrame:
     contract emits multiple rows per input without partition blowup."""
     def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, blobs = [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                n_frames = int(row["meta"]["n_frames"] or 0)
-                buf = row["payload"]
-                step = max(len(buf) // max(n_frames, 1), 1)
-                for fi in range(0, n_frames, every):
-                    ids.append(row["media_id"])
-                    idxs.append(fi)
-                    blobs.append(bytes(buf[fi * step : (fi + 1) * step]))
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_bytes": blobs})
+            vids = pdf[pdf["kind"] == "video"]
+            if vids.empty:
+                yield pd.DataFrame(
+                    {"media_id": pd.Series(dtype="int64"),
+                     "frame_idx": pd.Series(dtype="int32"),
+                     "frame_bytes": pd.Series(dtype=object)}
+                )
+                continue
+            # vectorized fan-out bookkeeping: per-row frame counts → one
+            # np.repeat/np.concatenate pass builds the (row, frame) index;
+            # only the final byte-slice touches Python objects (bytes cells
+            # are unavoidably objects in pandas)
+            n_frames = np.array(
+                [int(m["n_frames"] or 0) for m in vids["meta"]], dtype=np.int64
+            )
+            counts = np.maximum((n_frames + every - 1) // every, 0)
+            row_idx = np.repeat(np.arange(len(vids)), counts)
+            frame_idx = np.concatenate(
+                [np.arange(0, n, every) for n in n_frames]
+            ) if counts.sum() else np.empty(0, dtype=np.int64)
+            payloads = vids["payload"].to_numpy()
+            steps = np.maximum(
+                np.array([len(b) for b in payloads]) // np.maximum(n_frames, 1), 1
+            )
+            blobs = [
+                bytes(payloads[r][fi * steps[r] : (fi + 1) * steps[r]])
+                for r, fi in zip(row_idx, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": vids["media_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": blobs,
+                }
+            )
 
     return media.mapInPandas(sampler, schema=FRAME_SCHEMA)
 

@@ -71,18 +71,23 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    """Deterministic pseudo-random ±1 hyperplanes from a hash — no RNG
-    state, same planes on driver and in tests."""
-    import numpy as np
+    """Deterministic pseudo-random ±1 hyperplanes — seeded arithmetic
+    only (a splitmix64-style scramble of the (seed, plane, dim) triple;
+    Python's hash() is process-salted for some types and gratuitously
+    fragile as a stability contract)."""
+    M = (1 << 64) - 1
+
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & M
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & M
+        return x ^ (x >> 31)
 
     out = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hash((seed, p, d)) & 0xFFFFFFFF
-            # splitmix-style scramble for better bit diffusion than hash()
-            h = (h * 2654435761) & 0xFFFFFFFF
-            row.append(1.0 if (h >> 16) & 1 else -1.0)
+            h = mix((seed * 0x9E3779B97F4A7C15 + p * 0xD1B54A32D192ED03 + d) & M)
+            row.append(1.0 if (h >> 32) & 1 else -1.0)
         out.append(row)
     return out
 

@@ -69,6 +69,40 @@ def triangle_count(edges: DataFrame, *, degree_oriented: bool = True) -> DataFra
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected view:
+    → (entity, degree, n_tri, coeff) with
+    coeff = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2, else 0.
+    Defined over vertices with ≥1 undirected edge (isolated vertices have
+    no neighborhood to measure). SQL-expressible → DuckDB-oracle-checked
+    (plans.oracle_sql.clustering_query_sql)."""
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = local_triangle_counts(edges)
+    return (
+        deg.join(tri.withColumnRenamed("n_triangles", "n_tri"), "entity", "left")
+        .select(
+            "entity",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+                ).otherwise(F.lit(0.0)),
+                8,
+            ).alias("coeff"),
+        )
+    )
+
+
 def local_triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (entity, n_triangles) —
     clustering-coefficient building block."""

@@ -203,6 +203,94 @@ l{i} AS {m}(
     )
 
 
+def ppr_query_sql(
+    k: int = 5,
+    reset_prefix: str = "tool:",
+    dialect: str = "duckdb",
+    round_to: int = 8,
+) -> str:
+    """Unrolled K-step PERSONALIZED PageRank: teleport (and dangling mass)
+    land uniformly on the vertices whose entity starts with
+    ``reset_prefix`` (the Spark driver query builds the same reset
+    distribution). Mirrors operators.pagerank(reset=...):
+    x0 = reset_w, r_i = ((1−d) + d·dm)·reset_w + d·contrib."""
+    d = DAMPING
+    m = _mat(dialect)
+    steps = [
+        f"""reset AS {m}(
+  SELECT entity, 1.0 / (SELECT count(*) FROM vertices WHERE entity LIKE '{reset_prefix}%') AS reset_w
+  FROM vertices WHERE entity LIKE '{reset_prefix}%'
+)""",
+        f"""p0 AS {m}(
+  SELECT v.entity, coalesce(t.reset_w, 0.0) AS pr
+  FROM vertices v LEFT JOIN reset t ON v.entity = t.entity
+)""",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+pdang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM p{p} r LEFT JOIN outdeg o ON r.entity = o.entity
+  WHERE o.entity IS NULL
+),
+pcontrib{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr / o.outdeg) AS contrib
+  FROM edges e
+  JOIN p{p} r ON e.src = r.entity
+  JOIN outdeg o ON e.src = o.entity
+  GROUP BY e.dst
+),
+p{i} AS {m}(
+  SELECT v.entity,
+         ((1.0 - {d}) + {d} * (SELECT dm FROM pdang{i})) * coalesce(t.reset_w, 0.0)
+         + {d} * coalesce(c.contrib, 0) AS pr
+  FROM vertices v
+  LEFT JOIN reset t ON v.entity = t.entity
+  LEFT JOIN pcontrib{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, round(pr, {round_to}) AS pr FROM p{k}"
+    )
+
+
+def clustering_query_sql(dialect: str = "duckdb") -> str:
+    """Per-vertex local clustering coefficient — mirrors
+    operators.triangles.clustering_coefficients (lexicographic triangle
+    listing, degree over the undirected view, coeff = 2t/(deg(deg−1)))."""
+    m = _mat(dialect)
+    return f"""WITH {graph_ctes(dialect)},
+und AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS {m}(
+  SELECT v AS entity, count(*) AS degree FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) u GROUP BY v
+),
+tri AS {m}(
+  SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS {m}(
+  SELECT v AS entity, count(*) AS n_tri FROM (
+    SELECT va AS v FROM tri UNION ALL SELECT vb AS v FROM tri
+    UNION ALL SELECT vc AS v FROM tri
+  ) t GROUP BY v
+)
+SELECT d.entity, d.degree,
+       coalesce(t.n_tri, 0) AS n_tri,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 8) AS coeff
+FROM deg d LEFT JOIN tcnt t ON d.entity = t.entity"""
+
+
 def triangle_query_sql(dialect: str = "duckdb") -> str:
     """Global triangle count via canonical a<b<c two self-joins (matches
     operators.triangles with lexicographic orientation)."""

@@ -66,3 +66,17 @@ def test_lpa_deterministic_and_total(graph):
     assert set(a.values()) <= set(o_vertices)
     # LPA coarsens: fewer labels than vertices on a connected-ish graph
     assert len(set(a.values())) < len(o_vertices)
+
+
+def test_clustering_coefficients_small(spark):
+    from pagerank_optimization_spark.operators.triangles import clustering_coefficients
+
+    # triangle a-b-c plus pendant d attached to a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    )
+    out = {r.entity: (r.degree, r.n_tri, r.coeff) for r in clustering_coefficients(edges).collect()}
+    assert out["b"] == (2, 1, 1.0) and out["c"] == (2, 1, 1.0)
+    assert out["a"][0] == 3 and out["a"][1] == 1
+    assert abs(out["a"][2] - 1.0 / 3.0) < 1e-8
+    assert out["d"] == (1, 0, 0.0)
