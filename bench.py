@@ -161,6 +161,36 @@ def main() -> None:
                 )
                 log(f"sweep n_conv={n_conv} {kern}: {best:.2f}s")
             wv.unpersist(), we.unpersist()
+        # large-m Kronecker row: the O(nnz) R-MAT sampler feeding both
+        # kernels — m=16384 is 64x past the exact sweep's practical cutoff
+        # (m^2 = 268M cells vs ~2M sampled balls)
+        from pagerank_optimization_spark.sources.kronecker import kronecker_graph
+
+        km = 16384
+        kv, ke = kronecker_graph(spark, km, seed=42, method="rmat")
+        kv, ke = kv.persist(), ke.persist()
+        k_nv, k_ne = kv.count(), ke.count()
+        for kern in ("join-agg", "csr-blocks"):
+            best = None
+            for _ in range(trials):
+                t0 = time.monotonic()
+                pagerank(kv, ke, id_col="vid", fixed_iters=k0, partitions=cpus, kernel=kern)
+                dt = time.monotonic() - t0
+                best = dt if best is None or dt < best else best
+            rows.append(
+                {
+                    "n_conv": f"kron_rmat_m{km}",
+                    "vertices": k_nv,
+                    "edges": k_ne,
+                    "kernel": kern,
+                    "k0": k0,
+                    "wall_s_min": round(best, 3),
+                    "edges_per_sec_per_superstep": round(k_ne * k0 / best),
+                }
+            )
+            log(f"sweep kron_rmat m={km} {kern}: {best:.2f}s")
+        kv.unpersist(), ke.unpersist()
+
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/sweep.csv", "w", newline="") as f:
             wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
