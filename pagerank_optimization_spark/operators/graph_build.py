@@ -228,7 +228,10 @@ def vertex_ids_counted(
     )
     if eager:
         out = out.localCheckpoint(eager=True)  # ids are reused every superstep
-        ranged.unpersist()
+    # either way the counts pass is done with the cache; the lazy plan
+    # recomputes `ranged` deterministically (fixed range-sampler seed per
+    # partition index) if re-evaluated, so nothing stays pinned
+    ranged.unpersist()
     return out, acc
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Literal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -239,9 +239,10 @@ def pagerank(
     fixed_iters: int | None = None,
     partitions: int | None = None,
     kernel: str = "join-agg",
-    hub_split_degree: int | None = None,
+    hub_split_degree: int | Literal["auto"] | None = None,
     reset: DataFrame | None = None,
     checkpointer=None,
+    csr_broadcast_frontier: bool | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling redistribution over weighted edges
     ``(src, dst, weight)`` (weight = 1/outdeg(src), column-stochastic).
@@ -271,6 +272,11 @@ def pagerank(
     absent from it get teleport weight 0. Supported by BOTH kernels —
     the dispatch contract is feature-uniform, like the reference's macro
     dispatch (build_test_rig.sh:37-48).
+
+    ``csr_broadcast_frontier`` (csr-blocks kernel only): None picks the
+    frontier strategy by |V| (broadcast below BROADCAST_ROW_LIMIT, the
+    merge-join scale mode above); True/False forces a mode — used to run
+    the scale mode through the full correctness harness on small graphs.
     """
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
@@ -289,6 +295,7 @@ def pagerank(
             partitions=partitions,
             reset=reset,
             checkpointer=checkpointer,
+            broadcast_frontier=csr_broadcast_frontier,
         )
     if kernel != "join-agg":
         raise ValueError(f"unknown kernel {kernel!r}")
