@@ -21,18 +21,36 @@ def label_propagation(
     *,
     rounds: int = 10,
     partitions: int | None = None,
+    checkpointer=None,
 ) -> DataFrame:
-    """→ DataFrame(entity, label) after ``rounds`` synchronous supersteps."""
+    """→ DataFrame(entity, label) after ``rounds`` synchronous supersteps.
+
+    ``checkpointer``: optional CheckpointManager — labels land durably per
+    round under the same commit protocol as PageRank ranks; a killed run
+    resumes at the first unfinished round, bitwise-identical (labels are
+    discrete strings)."""
+    import time
+
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
-    sym.count()
-    labels = vertices.select("entity", F.col("entity").alias("label")).localCheckpoint(eager=True)
+    n_sym = sym.count()
+
+    start_round = 0
+    labels = None
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            start_round, labels = resumed
+            labels = labels.localCheckpoint(eager=True)
+    if labels is None:
+        labels = vertices.select("entity", F.col("entity").alias("label")).localCheckpoint(eager=True)
 
     from pagerank_optimization_spark.session import iterative_conf
 
     with iterative_conf(spark):
-        for _ in range(rounds):
+        for it in range(start_round, rounds):
+            t0 = time.monotonic()
             # gather neighbor labels, count per (vertex, label), pick argmax with
             # min-label tie-break via one window (count desc, label asc)
             neigh = (
@@ -51,5 +69,12 @@ def label_propagation(
                 .select("entity", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
                 .localCheckpoint(eager=True)
             )
+            if checkpointer is not None:
+                checkpointer.save(
+                    it, labels,
+                    {"superstep": it, "edges_processed": n_sym,
+                     "wall_ms": (time.monotonic() - t0) * 1000.0,
+                     "n_partitions": partitions},
+                )
     sym.unpersist()
     return labels

@@ -69,3 +69,35 @@ def test_resume_fresh_returns_none(spark, ckpt_root):
 def test_iceberg_format_raises(spark, ckpt_root):
     with pytest.raises(NotImplementedError):
         CheckpointManager(spark, ckpt_root, "x", table_format="iceberg")
+
+
+def test_cc_kill_resume_exact(spark, graph, ckpt_root):
+    """CC converged mode with checkpointing: a run killed after round r and
+    resumed matches the uninterrupted run EXACTLY (labels are discrete
+    strings — bitwise is free). Same commit protocol as PageRank ranks."""
+    from pagerank_optimization_spark.operators.components import connected_components
+
+    vertices, wedges = graph
+    want = _d(connected_components(vertices, wedges, partitions=4))
+
+    cm1 = CheckpointManager(spark, ckpt_root, "cc-a")
+    # "kill" after 2 rounds by capping max_rounds
+    connected_components(vertices, wedges, partitions=4, max_rounds=2, checkpointer=cm1)
+    cm2 = CheckpointManager(spark, ckpt_root, "cc-a")
+    assert cm2.last_complete_superstep() == 1
+    got = _d(connected_components(vertices, wedges, partitions=4, checkpointer=cm2))
+    assert got == want
+
+
+def test_lpa_kill_resume_exact(spark, graph, ckpt_root):
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+
+    vertices, wedges = graph
+    want = _d(label_propagation(vertices, wedges, rounds=5, partitions=4))
+
+    cm1 = CheckpointManager(spark, ckpt_root, "lpa-a")
+    label_propagation(vertices, wedges, rounds=2, partitions=4, checkpointer=cm1)
+    cm2 = CheckpointManager(spark, ckpt_root, "lpa-a")
+    assert cm2.last_complete_superstep() == 1
+    got = _d(label_propagation(vertices, wedges, rounds=5, partitions=4, checkpointer=cm2))
+    assert got == want

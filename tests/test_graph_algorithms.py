@@ -40,6 +40,25 @@ def test_cc_fixed_rounds_prefix_consistent(graph):
     assert got == want
 
 
+def test_cc_pointer_doubling_log_rounds_on_path(spark):
+    """A 1024-vertex path is the worst case for plain min-label propagation
+    (diameter = n-1 → ~1023 rounds). With pointer-doubling shortcutting the
+    covered distance doubles per round, so the fixpoint must arrive within
+    ~2·log₂(n) rounds — max_rounds=21 FORCES that bound: if doubling ever
+    regressed to O(diameter), the returned labels would be wrong and the
+    equality below would fail."""
+    n = 1024
+    vertices = spark.createDataFrame([(f"v{i:04d}",) for i in range(n)], "entity string")
+    edges = spark.createDataFrame(
+        [(f"v{i:04d}", f"v{i + 1:04d}") for i in range(n - 1)], "src string, dst string"
+    )
+    got = {
+        r.entity: r.component
+        for r in connected_components(vertices, edges, max_rounds=21).collect()
+    }
+    assert got == {f"v{i:04d}": "v0000" for i in range(n)}
+
+
 def test_triangle_count_exact(graph):
     vertices, wedges, o_vertices, o_edges = graph
     want = oracle.triangle_count(o_edges)
@@ -54,6 +73,45 @@ def test_local_triangle_counts_sum(graph):
     per_vertex = local_triangle_counts(wedges).collect()
     total = sum(r.n_triangles for r in per_vertex)
     assert total == 3 * oracle.triangle_count(o_edges)  # each triangle counted at 3 vertices
+
+
+def test_local_triangle_counts_hub_fanout_bounded(spark):
+    """Degree orientation must keep a hub from becoming a 2-path center:
+    on a 400-leaf star whose hub sits lexicographically in the MIDDLE of
+    its leaves, the lexicographic orientation generates ~in·out ≈ 200·200
+    wedge rows at the hub while the degree orientation generates none —
+    the O(deg²) scale hazard the per-vertex counts used to carry. Also
+    checks the counts themselves on planted triangles."""
+    from pyspark.sql import functions as F
+
+    from pagerank_optimization_spark.operators.triangles import (
+        degree_oriented_edges,
+        undirected_edges,
+    )
+
+    rows = [("mmm", f"a{i:04d}") for i in range(200)]
+    rows += [("mmm", f"z{i:04d}") for i in range(200)]
+    rows += [("a0000", "a0001"), ("a0000", "z0000"), ("a0001", "z0000")]  # planted closures
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    und = undirected_edges(edges).cache()
+
+    def wedge_rows(e):
+        p1 = e.select(F.col("x").alias("v0"), F.col("y").alias("v1"))
+        p2 = e.select(F.col("x").alias("v1"), F.col("y").alias("v2"))
+        return p1.join(p2, "v1").count()
+
+    lex = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    n_lex = wedge_rows(lex)
+    n_deg = wedge_rows(degree_oriented_edges(und))
+    assert n_lex > 10_000  # the hub blow-up the old path paid
+    assert n_deg < 100     # bounded by the sqrt(E) out-degree cap
+
+    got = {r.entity: r.n_triangles for r in local_triangle_counts(edges).collect()}
+    # hub-leaf triangles: (mmm, a0000, a0001), (mmm, a0000, z0000),
+    # (mmm, a0001, z0000) — via star edges — plus the pure leaf triangle
+    assert got["mmm"] == 3
+    assert got["a0000"] == 3 and got["a0001"] == 3 and got["z0000"] == 3
+    assert triangle_count(edges).collect()[0][0] == 4
 
 
 def test_lpa_deterministic_and_total(graph):
