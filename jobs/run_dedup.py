@@ -1,7 +1,12 @@
 """spark-submit entrypoint: corpus dedup report over a documents table.
 
     spark-submit jobs/run_dedup.py --documents .../documents.parquet \
-        --output /tmp/dedup_out [--method exact|ngram|minhash|simhash]
+        --output /tmp/dedup_out [--method exact|ngram|minhash|simhash|cascade]
+        [--embeddings .../embeddings.parquet]   # semantic tier of the cascade
+
+``--method cascade`` runs the standard curation ladder (exact →
+MinHash-LSH → optional semantic) and writes the SURVIVORS table plus a
+per-stage removal report (stats.json next to the parquet output).
 """
 
 from __future__ import annotations
@@ -18,7 +23,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--documents", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--method", default="minhash", choices=["exact", "ngram", "minhash", "simhash"])
+    ap.add_argument("--method", default="minhash",
+                    choices=["exact", "ngram", "minhash", "simhash", "cascade"])
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet for the cascade's semantic tier")
     ap.add_argument("--threshold", type=float, default=0.8)
     args = ap.parse_args(argv)
 
@@ -27,6 +35,18 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name=f"dedup-{args.method}")
     docs = spark.read.parquet(args.documents)
+    if args.method == "cascade":
+        import json
+
+        emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+        survivors, stats = dedup.dedup_cascade(docs, embeddings=emb)
+        survivors.write.mode("overwrite").parquet(args.output)
+        with open(os.path.join(os.path.dirname(args.output) or ".",
+                               os.path.basename(args.output) + ".stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        for s in stats:
+            print(f"{s['stage']:12s} removed {s['removed']:>8d}  survivors {s['survivors']:>8d}")
+        return 0
     if args.method == "exact":
         out = dedup.exact_dedup(docs)
     elif args.method == "ngram":

@@ -305,3 +305,100 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --- cascade ----------------------------------------------------------------
+
+
+def _collapse_pair_families(survivors: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop every doc except the min-id representative of its duplicate
+    FAMILY (connected component of the pair graph) — pairwise greedy
+    dropping under-removes on chains (a~b, b~c without a~c); the engine's
+    own connected_components operator (pointer-doubled min-label) resolves
+    transitivity exactly. Ids are zero-padded to strings so lexicographic
+    min == numeric min. Only docs that appear in a pair enter the CC run —
+    isolated docs survive without touching the loop."""
+    from pagerank_optimization_spark.operators.components import connected_components
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    vertices = (
+        pairs.select(pad("a").alias("entity"))
+        .unionByName(pairs.select(pad("b").alias("entity")))
+        .distinct()
+    )
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    comp = connected_components(vertices, edges)
+    losers = comp.filter(F.col("entity") != F.col("component")).select(
+        F.col("entity").cast("long").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "left_anti")
+
+
+def dedup_cascade(
+    documents: DataFrame,
+    *,
+    embeddings: DataFrame | None = None,
+    minhash_threshold: float = 0.5,
+    semantic_threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hasher: str = "xxhash64",
+) -> tuple[DataFrame, list[dict]]:
+    """The standard training-corpus dedup ladder as ONE job: exact →
+    MinHash-LSH → (optional) semantic near-dup, each stage operating only
+    on the previous stage's survivors (cheapest filter first, the cascade
+    every large-scale pipeline runs — e.g. exact sha1 → MinHash → semantic
+    in refined-web-style curation).
+
+    → (survivors DataFrame with the original document columns,
+       per-stage stats [{stage, input, removed, survivors}, ...]).
+
+    The semantic stage runs iff ``embeddings`` is given (joined to
+    survivors on id); docs without an embedding pass through untouched.
+    Families at every tier collapse to their min-id member via connected
+    components of the pair graph — transitively exact, not pairwise-greedy.
+    Scale shape: each stage is the already-bucketed sub-quadratic operator
+    (hash groupBy / banded LSH with bucket caps / LSH-bucketed cosine);
+    the cascade adds only id anti-joins between stages."""
+    stats: list[dict] = []
+    survivors = documents.persist()
+    n = survivors.count()
+
+    ed = exact_dedup(survivors, id_col=id_col, text_col=text_col)
+    keep = ed.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    nxt = survivors.join(keep, id_col, "left_semi").persist()
+    n1 = nxt.count()
+    stats.append({"stage": "exact", "input": n, "removed": n - n1, "survivors": n1})
+    survivors.unpersist()
+    survivors, n = nxt, n1
+
+    mh_pairs = minhash_lsh_pairs(
+        survivors, threshold=minhash_threshold, id_col=id_col, text_col=text_col,
+        hasher=hasher,
+    )
+    nxt = _collapse_pair_families(survivors, mh_pairs, id_col).persist()
+    n1 = nxt.count()
+    stats.append({"stage": "minhash_lsh", "input": n, "removed": n - n1, "survivors": n1})
+    survivors.unpersist()
+    survivors, n = nxt, n1
+
+    if embeddings is not None:
+        from pagerank_optimization_spark.operators.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        emb_surv = embeddings.join(
+            survivors.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+        )
+        sem_pairs = embedding_neardup_pairs(
+            emb_surv, threshold=semantic_threshold, id_col=emb_id_col, vec_col=vec_col
+        )
+        nxt = _collapse_pair_families(survivors, sem_pairs, id_col).persist()
+        n1 = nxt.count()
+        stats.append({"stage": "semantic", "input": n, "removed": n - n1, "survivors": n1})
+        survivors.unpersist()
+        survivors, n = nxt, n1
+
+    return survivors, stats

@@ -187,16 +187,30 @@ def ivf_train(
     cents = np.array([r.unit for r in seeds], dtype=np.float64)
     for _ in range(iters):
         assigned = _assign_centroid(uni, cents).select("cid", "unit")
-        sums = assigned.groupBy("cid").agg(
-            F.array(*[F.sum(F.col("unit")[i]) for i in range(cents.shape[1])]).alias("s"),
-            F.count("*").alias("n"),
-        ).collect()
+        # per-dimension sums via posexplode + groupBy(cid, pos): the plan is
+        # O(1) expressions regardless of embedding dim (the previous
+        # dim-many F.sum(unit[i]) columns were a 768-4096-expression
+        # aggregate at real embedding widths — plan-compile blowup, not a
+        # data problem); the collected k×dim matrix is driver-tiny
+        counts = {
+            r["cid"]: r["n"]
+            for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        cell_sums = (
+            assigned.select("cid", F.posexplode("unit").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        acc = np.zeros_like(cents)
+        for r in cell_sums:
+            acc[r["cid"], r["pos"]] = r["s"]
         new = cents.copy()
-        for r in sums:
-            v = np.array(r.s, dtype=np.float64) / r.n
+        for cid, n_members in counts.items():
+            v = acc[cid] / n_members
             nv = np.linalg.norm(v)
             if nv > 1e-12:
-                new[r.cid] = v / nv
+                new[cid] = v / nv
         cents = new
     uni.unpersist()
     return cents.tolist()

@@ -101,3 +101,53 @@ def test_dedup_on_documents_table(spark):
     out = exact_dedup(docs).collect()
     assert len(out) == docs.count()
     assert all(r.canonical_id <= r.doc_id for r in out)
+
+
+def test_dedup_cascade_planted_families(spark):
+    """End-to-end cascade: one planted duplicate family per tier must
+    collapse at exactly that tier (exact copies at exact; near-identical
+    texts at minhash-LSH; identical embeddings with unrelated texts at
+    semantic), unrelated docs must survive, and stats must attribute each
+    removal to the right stage."""
+    from pagerank_optimization_spark.operators.dedup import dedup_cascade
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on ancient rooftops and distant bells ring through the "
+            "quiet evening air of the old town square near the harbor")
+    m_base = ("seven sailors mended their torn canvas sails beneath a pale "
+              "winter sun while gulls wheeled overhead crying out across the "
+              "gray water and nets dried slowly along the wooden pier")
+    m_near = m_base.replace("pier", "dock")  # one token off: high jaccard
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base), (3, base),           # exact family {1,2,3}
+            (10, m_base), (11, m_near),                # minhash family {10,11}
+            (20, "completely different subject matter about astronomy"),
+            (21, "unrelated legal contract boilerplate text entirely"),   # semantic family {20,21}
+            (30, "a lone survivor document with unique content"),
+            (31, "another standalone page that resembles nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v_sem = [float(x) for x in rng.normal(size=16)]
+    emb = spark.createDataFrame(
+        [
+            (20, v_sem), (21, list(v_sem)),            # identical → cosine 1.0
+            (30, [float(x) for x in rng.normal(size=16)]),
+            (31, [float(x) for x in rng.normal(size=16)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    survivors, stats = dedup_cascade(docs, embeddings=emb)
+    ids = sorted(r.doc_id for r in survivors.select("doc_id").collect())
+    assert ids == [1, 10, 20, 30, 31]
+
+    by_stage = {s["stage"]: s for s in stats}
+    assert by_stage["exact"]["removed"] == 2         # 2,3
+    assert by_stage["minhash_lsh"]["removed"] == 1   # 11
+    assert by_stage["semantic"]["removed"] == 1      # 21
+    assert by_stage["semantic"]["survivors"] == 5

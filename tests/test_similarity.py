@@ -90,6 +90,34 @@ def test_ivf_topk_recall(emb, np_oracle):
     assert np.mean(recalls) >= probed_fraction + 0.05, f"IVF recall {recalls}"
 
 
+def test_ivf_dim512_clustered_recall(spark):
+    """Real-embedding width: dim 512 with 3 Lloyd rounds. The Lloyd step
+    aggregates via posexplode + groupBy(cid, pos), so the plan holds O(1)
+    expressions regardless of dim — the previous per-dimension F.sum(unit[i])
+    formulation was a 512-expression aggregate per round (plan-compile
+    blowup at 768-4096, similarity.py). Clustered data so recall is a
+    meaningful signal that training actually worked at this width."""
+    from pagerank_optimization_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 512, 4, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.15 * rng.normal(size=(per, dim))
+        for j, p in enumerate(pts):
+            rows.append((c * per + j, [float(x) for x in p]))
+    emb512 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = cosine_topk(emb512, QUERIES, k=K).collect()
+    approx = ivf_topk(
+        emb512, QUERIES, k=K, n_centroids=n_clusters, nprobe=2, iters=3
+    ).collect()
+    recalls = _recalls(exact, approx)
+    assert np.mean(recalls) >= 0.6, f"dim-512 IVF recall too low: {recalls}"
+
+
 def test_ivf_deterministic(emb):
     from pagerank_optimization_spark.operators.similarity import ivf_topk
 
