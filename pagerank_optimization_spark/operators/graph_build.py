@@ -200,9 +200,11 @@ def vertex_ids_counted(
     DataFrame-native.
 
     ``eager=True`` (default) localCheckpoints the result — the map is
-    reused every superstep; ``eager=False`` returns the lazy plan
-    (plan-audit hook: tests assert it contains no single-partition
-    exchange)."""
+    reused every superstep; ``eager=False`` returns the lazy plan as a
+    PLAN-AUDIT-ONLY hook (tests assert it contains no single-partition
+    exchange) — do not execute it: a lazy re-materialization re-runs the
+    range sampler, whose boundaries are not stable across recomputations,
+    and would mis-assign vids against the counted offsets."""
     spark = vertices.sparkSession
     P = partitions or spark.sparkContext.defaultParallelism
     # capture the physical partition id as data; persist so the counts pass
@@ -228,9 +230,12 @@ def vertex_ids_counted(
     )
     if eager:
         out = out.localCheckpoint(eager=True)  # ids are reused every superstep
-    # either way the counts pass is done with the cache; the lazy plan
-    # recomputes `ranged` deterministically (fixed range-sampler seed per
-    # partition index) if re-evaluated, so nothing stays pinned
+    # the counts pass is done with the cache either way; in eager mode the
+    # checkpoint above also materialized the assignment from the SAME cached
+    # layout (required: range-sampler boundaries are NOT stable across
+    # recomputations — offsets from one pass + row_numbers from another
+    # would mis-assign vids). eager=False is therefore a PLAN-AUDIT-ONLY
+    # mode: inspect the returned plan, do not execute it.
     ranged.unpersist()
     return out, acc
 

@@ -464,15 +464,15 @@ def _compile(
     # normalize the external id column to 'entity' for the vid mapping
     # (works for string entities and for already-numeric ids alike);
     # the assignment's counting pass yields n as a by-product (no extra job).
-    # eager=False + persist (not localCheckpoint) so release() can actually
-    # free the map when the cache entry is evicted; the lazy plan recomputes
-    # deterministically if blocks are lost.
+    # eager=True (localCheckpoint NOW, while the counted range layout is
+    # still cached) is the only correct execution mode: the range sampler's
+    # boundaries are not stable across recomputations, so a lazily
+    # re-materialized assignment could disagree with the counted offsets.
+    # The checkpoint's blocks are reclaimed by Spark's ContextCleaner once
+    # the cache entry is evicted and the last reference is GC'd.
     ids, n = vertex_ids_counted(
-        vertices.select(F.col(id_col).alias("entity")),
-        partitions=partitions,
-        eager=False,
+        vertices.select(F.col(id_col).alias("entity")), partitions=partitions
     )
-    ids = ids.persist()
     if n == 0:
         raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
 
@@ -519,7 +519,9 @@ def _compile(
     # no forcing counts: superstep 1 materializes the caches — same work,
     # two fewer driver round-trips in the critical setup path
 
-    def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids, ids)):
+    def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids)):
+        # ids is localCheckpointed, not persisted: its blocks are freed by
+        # the ContextCleaner once the evicted entry's references are GC'd
         for df in _frames:
             df.unpersist()
 
