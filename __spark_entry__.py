@@ -41,11 +41,13 @@ def _graph(spark: SparkSession, sf_dir: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank (damping .85, dangling redistribution,
     L1 tol 1e-6) over the sf0.001 transcript graph; top-ranked entities.
-    Runs the csr-blocks kernel — the faster of the two (BENCH/sweep.csv:
-    csr beats join-agg at every size, margin growing with size); join-agg
-    remains the cross-check kernel (1e-12 differential, tests/test_pagerank_csr.py)."""
+    Runs kernel="auto" — the measured-crossover dispatch (csr-blocks
+    zero-exchange broadcast-frontier below 1M vertices, pure-JVM join-agg
+    above; rationale in pagerank.resolve_auto_kernel / BENCH/sweep.csv);
+    at this graph size that resolves to csr-blocks, with join-agg as the
+    cross-check kernel (1e-12 differential, tests/test_pagerank_csr.py)."""
     vertices, edges = _graph(spark, SF0001)
-    res = pagerank(vertices, edges, tol=1e-6, max_iter=100, kernel="csr-blocks")
+    res = pagerank(vertices, edges, tol=1e-6, max_iter=100, kernel="auto")
     return res.ranks.orderBy(F.desc("pr"), F.asc("entity")).limit(25)
 
 

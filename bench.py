@@ -196,8 +196,13 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
                 cs = compute_s(r)
                 cbest = cs if cbest is None or cs < cbest else cbest
+            from pagerank_optimization_spark.operators.pagerank_csr import (
+                BROADCAST_ROW_LIMIT,
+            )
+
             mode = kw.get("csr_broadcast_frontier")
-            kname = kern if mode is None else f"{kern}(scale)"
+            scale = mode is False or (mode is None and w_nv > BROADCAST_ROW_LIMIT)
+            kname = f"{kern}(scale)" if (kern == "csr-blocks" and scale) else kern
             rows.append(
                 {
                     "n_conv": label,

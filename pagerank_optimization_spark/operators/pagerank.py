@@ -228,6 +228,24 @@ def _dangling_of(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFram
     )
 
 
+def resolve_auto_kernel(n_vertices: int) -> str:
+    """kernel="auto" dispatch rule, from the measured crossover
+    (BENCH/sweep.csv): below BROADCAST_ROW_LIMIT vertices the csr-blocks
+    broadcast-frontier superstep is ONE zero-exchange Arrow job and wins
+    on compute throughput (2.36M vs 1.77M edges/s/superstep on the
+    1.9M-edge R-MAT graph); above it the csr scale mode must ship the
+    routed frontier through the Arrow boundary every superstep, and at
+    PageRank's 2 FLOPs/edge that transfer costs more than the
+    vectorization saves (synth_1100000 row: join-agg 11.3s vs csr-scale
+    30.8s compute) — the pure-JVM join-agg kernel is the right >1M-vertex
+    engine. The scale mode stays fully supported (forced via
+    csr_broadcast_frontier=False) as the vectorized option for
+    math-heavier per-edge kernels."""
+    from pagerank_optimization_spark.operators.pagerank_csr import BROADCAST_ROW_LIMIT
+
+    return "csr-blocks" if n_vertices <= BROADCAST_ROW_LIMIT else "join-agg"
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
@@ -251,7 +269,9 @@ def pagerank(
 
     ``fixed_iters`` runs exactly K supersteps (oracle mode — matches the
     reference's fixed k0, tuned_variant_baseline.c:120); otherwise iterate
-    to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks"}.
+    to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks", "auto"} —
+    "auto" picks by |V| via resolve_auto_kernel (measured crossover:
+    zero-exchange csr below BROADCAST_ROW_LIMIT, pure-JVM join-agg above).
 
     ``hub_split_degree``: degree-based edge splitting for power-law hubs
     (join-agg kernel only). Pass "auto" to probe the OUT-degree histogram
@@ -281,6 +301,8 @@ def pagerank(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
+    if kernel == "auto":
+        kernel = resolve_auto_kernel(vertices.count())
     if kernel == "csr-blocks":
         from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
 

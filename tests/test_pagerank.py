@@ -87,3 +87,25 @@ def test_dangling_mass_redistributed(spark):
     assert np.isclose(got["agent:a1"], ra, atol=1e-9)
     assert np.isclose(got["conv:conv-1"], rc, atol=1e-9)
     assert np.isclose(sum(got.values()), 1.0, atol=1e-12)
+
+
+def test_resolve_auto_kernel_crossover():
+    from pagerank_optimization_spark.operators.pagerank import resolve_auto_kernel
+    from pagerank_optimization_spark.operators.pagerank_csr import BROADCAST_ROW_LIMIT
+
+    assert resolve_auto_kernel(10) == "csr-blocks"
+    assert resolve_auto_kernel(BROADCAST_ROW_LIMIT) == "csr-blocks"
+    assert resolve_auto_kernel(BROADCAST_ROW_LIMIT + 1) == "join-agg"
+
+
+def test_kernel_auto_end_to_end(spark):
+    import numpy as np
+
+    from pagerank_optimization_spark.operators.graph_build import build_graph
+    from pagerank_optimization_spark.sources.transcripts import synthesize_transcripts
+
+    vertices, wedges = build_graph(synthesize_transcripts(spark, 40, seed=5))
+    a = {r[0]: r[1] for r in pagerank(vertices, wedges, fixed_iters=3, partitions=4).ranks.collect()}
+    b = {r[0]: r[1] for r in pagerank(vertices, wedges, fixed_iters=3, partitions=4, kernel="auto").ranks.collect()}
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12)
