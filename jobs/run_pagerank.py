@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     src.add_argument("--transcripts", help="parquet path with the transcript schema")
     src.add_argument("--events", help="events parquet to derive transcripts from")
     ap.add_argument("--output", required=True, help="output path for the rank table")
-    ap.add_argument("--kernel", default="join-agg", choices=["join-agg", "csr-blocks"])
+    ap.add_argument("--kernel", default="join-agg", choices=["join-agg", "csr-blocks", "auto"])
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
