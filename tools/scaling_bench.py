@@ -186,7 +186,12 @@ wall across all trials — min-of-trials applied at superstep granularity
 (each superstep runs the identical plan over identical data, so every
 superstep IS a trial of the same computation; the floor is each level's
 quiet-machine steady state, the quantity timer_op.c's min approximates).
-Ambient co-tenant noise inflates sums far more than floors. The one-time
+Ambient co-tenant noise inflates sums far more than floors. A
+20-superstep profile at local[8] on this input confirms the floor is the
+RECURRING steady state, not an outlier: walls decay 38→15 s/superstep
+(JIT + page-cache warmup) with sporadic spikes and NO upward drift (no
+state accumulation across supersteps); the floor recurs in supersteps
+11-16. The one-time
 DISTRIBUTE_DATA setup is excluded from both, exactly as the reference's
 timer starts after data distribution (timer_op.c); total walls are
 reported for transparency.
