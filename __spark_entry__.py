@@ -214,6 +214,19 @@ def _q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup cascade (exact → portable-MinHash-LSH → CC family
+    collapse) as ONE oracle-checked query: surviving doc_ids. The SQL twin
+    reproduces every stage — normalized-text classes, the polynomial
+    permutation family term for term, banded buckets, and an unrolled
+    min-label CC over the pair graph."""
+    from pagerank_optimization_spark.operators.dedup import dedup_cascade
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors, _stats = dedup_cascade(docs, hasher="portable")
+    return survivors.select("doc_id")
+
+
 def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.similarity import ivf_topk
 
@@ -269,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_lang_quality": _q_docs_lang_quality,
+        "docs_dedup_survivors": _q_docs_dedup_survivors,
         "emb_ivf_topk": _q_emb_ivf_topk,
         # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
@@ -300,6 +314,9 @@ def oracle_sql() -> dict[str, str]:
             num_perm=64, bands=16, k=3, threshold=0.5, max_bucket_size=500
         ),
         "docs_simhash_pairs": osql_docs.docs_simhash_pairs_sql(max_hamming=3, bits=48),
+        "docs_dedup_survivors": osql_docs.docs_dedup_cascade_sql(
+            num_perm=64, bands=16, k=3, threshold=0.5, max_bucket_size=500
+        ),
         "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

@@ -352,3 +352,101 @@ ranked AS (
 SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def docs_dedup_cascade_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+    cc_rounds: int = 12,
+) -> str:
+    """doc_id of cascade survivors — mirrors operators.dedup.dedup_cascade
+    (hasher='portable', no embeddings): exact tier (min doc_id per
+    normalized-text class), then the portable-MinHash banded-LSH pairs of
+    docs_minhash_pairs_sql computed over the EXACT-TIER SURVIVORS, then
+    the duplicate families collapsed to their min doc_id via min-label
+    propagation unrolled ``cc_rounds`` rounds (families are near-dup
+    chains of a handful of docs, so 12 rounds ≥ any family diameter; the
+    Spark side's pointer-doubled CC reaches the identical fixpoint)."""
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min((h*{MINHASH_A(i)} + {MINHASH_B(i)}) % {POLY_P}) AS m{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS bh FROM sig".format(
+            band=bi,
+            key=", ',', ".join(f"m{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    cc_ctes = []
+    for r in range(1, cc_rounds + 1):
+        cc_ctes.append(f"""lbl{r} AS (
+  SELECT l.v, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
+  FROM lbl{r - 1} l
+  LEFT JOIN sym e ON e.x = l.v
+  LEFT JOIN lbl{r - 1} l2 ON l2.v = e.y
+  GROUP BY l.v, l.lbl
+)""")
+    cc_sql = ",\n".join(cc_ctes)
+    return rf"""
+WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+surv1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canonical_id FROM n
+  ) WHERE doc_id = canonical_id
+),
+t AS MATERIALIZED (
+  SELECT d.doc_id, {TOKS} AS toks FROM documents d JOIN surv1 USING (doc_id)
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM t, unnest(list_transform(
+        range(1, greatest(len(toks) - {k}, 0) + 2),
+        i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS u(s)
+  WHERE len(string_split(s, ' ')) = {k}
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, {_poly('shingle')} AS h FROM sh
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  {band_selects}
+),
+bsz AS (SELECT band, bh, count(*) AS bs FROM banded GROUP BY 1, 2),
+b2 AS (
+  SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+  WHERE bs <= {max_bucket_size}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM b2 x JOIN b2 y USING (band, bh)
+  WHERE x.doc_id < y.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT a, b
+  FROM cand
+  JOIN sig sa ON cand.a = sa.doc_id
+  JOIN sig sb ON cand.b = sb.doc_id
+  WHERE ({matches}) / {float(num_perm)} >= {threshold}
+),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+),
+lbl0 AS (
+  SELECT v, v AS lbl FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs)
+),
+{cc_sql},
+losers AS (SELECT v FROM lbl{cc_rounds} WHERE lbl <> v)
+SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT v FROM losers)
+"""
