@@ -120,6 +120,13 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
+def _q_triangles_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production default path — degree orientation (O(sqrt(E)) wedge
+    fan-out). The global count is orientation-invariant, so the same SQL
+    twin (lexicographic orientation) checks it verbatim."""
+    return triangle_count(_q_edges(spark, sf_dir), degree_oriented=True)
+
+
 def _q_lpa_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.lpa import label_propagation
 
@@ -268,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_k5": _q_ppr_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
+        "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
         # documents / embeddings pipeline (oracle-checked)
@@ -300,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr_k5": osql.ppr_query_sql(k=5, reset_prefix="tool:"),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
+        "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),

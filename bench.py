@@ -182,6 +182,114 @@ def main() -> None:
     extra["synth_edges_per_sec_per_superstep_csr_scale"] = round(s_ne * k0 / queries["synth_pagerank_k10_csr_scale"])
     extra["synth_edges_per_sec_per_superstep_csr_scale_compute"] = round(s_ne * k0 / compute_s(sres_sc))
 
+    # --- LLM-data-pipeline section -------------------------------------------
+    # The engine's brief is a training-data pipeline; the dedup/similarity/
+    # session operators get the same min-of-trials walls as the graph
+    # kernels, plus docs/sec + pairs-emitted throughput counters and the
+    # skew-cap fire counts (whether max_shingle_freq / max_bucket_size
+    # actually triggered on this corpus — the caps are the 100 TB skew
+    # story and should be observed, not assumed). Disable with
+    # BENCH_PIPELINE=0 (e.g. for a graph-only sweep run).
+    if os.environ.get("BENCH_PIPELINE", "1") == "1":
+        from pagerank_optimization_spark.operators.dedup import (
+            dedup_cascade,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+        from pagerank_optimization_spark.operators.sessions import (
+            session_stats,
+            sessionize,
+        )
+        from pagerank_optimization_spark.operators.similarity import ivf_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+        n_docs = docs.count()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        n_emb = emb.count()
+        events.persist()
+        n_events = events.count()
+        pipe: dict[str, object] = {"n_docs": n_docs, "n_emb": n_emb, "n_events": n_events}
+
+        caps: dict[str, int] = {}
+
+        def _cascade():
+            caps.clear()
+            survivors, stats = dedup_cascade(docs, counters=caps)
+            n_surv = survivors.count()
+            survivors.unpersist()
+            return n_surv, stats
+
+        n_surv, stats = timed_min("pipe_dedup_cascade", _cascade, n=oneshot_trials)
+        pipe["dedup_cascade"] = {
+            "survivors": n_surv,
+            "stages": stats,
+            "docs_per_sec": round(n_docs / queries["pipe_dedup_cascade"]),
+            "skew_caps_fired": dict(caps),
+        }
+
+        mh_caps: dict[str, int] = {}
+
+        def _minhash():
+            mh_caps.clear()
+            return minhash_lsh_pairs(docs, threshold=0.5, counters=mh_caps).count()
+
+        n_mh = timed_min("pipe_minhash_lsh_pairs", _minhash, n=oneshot_trials)
+        pipe["minhash_lsh_pairs"] = {
+            "pairs_emitted": n_mh,
+            "docs_per_sec": round(n_docs / queries["pipe_minhash_lsh_pairs"]),
+            "skew_caps_fired": dict(mh_caps),
+        }
+
+        n_sh = timed_min(
+            "pipe_simhash_pairs",
+            lambda: simhash_pairs(docs, max_hamming=3).count(),
+            n=oneshot_trials,
+        )
+        pipe["simhash_pairs"] = {
+            "pairs_emitted": n_sh,
+            "docs_per_sec": round(n_docs / queries["pipe_simhash_pairs"]),
+        }
+
+        ng_caps: dict[str, int] = {}
+
+        def _ngram():
+            ng_caps.clear()
+            return ngram_jaccard_pairs(docs, k=3, threshold=0.8, counters=ng_caps).count()
+
+        n_ng = timed_min("pipe_ngram_jaccard_pairs", _ngram, n=oneshot_trials)
+        pipe["ngram_jaccard_pairs"] = {
+            "pairs_emitted": n_ng,
+            "docs_per_sec": round(n_docs / queries["pipe_ngram_jaccard_pairs"]),
+            "skew_caps_fired": dict(ng_caps),
+        }
+
+        timed_min(
+            "pipe_events_sessionize",
+            lambda: sessionize(events, gap_seconds=1800).count(),
+            n=oneshot_trials,
+        )
+        pipe["sessionize_events_per_sec"] = round(
+            n_events / queries["pipe_events_sessionize"]
+        )
+        timed_min(
+            "pipe_events_session_stats",
+            lambda: session_stats(events, gap_seconds=1800).count(),
+            n=oneshot_trials,
+        )
+
+        timed_min(
+            "pipe_ivf_topk",
+            lambda: ivf_topk(
+                emb, [0, 7, 42], k=10, n_centroids=8, nprobe=3, iters=3
+            ).count(),
+            n=oneshot_trials,
+        )
+        pipe["ivf_vecs_per_sec"] = round(n_emb / queries["pipe_ivf_topk"])
+
+        docs.unpersist(), emb.unpersist(), events.unpersist()
+        extra["pipeline"] = pipe
+
     # --- size sweep (S10 plot-sink analog) -----------------------------------
     if os.environ.get("BENCH_SWEEP", "0") == "1":
         import csv
@@ -310,7 +418,7 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     out = {
-        "metric": "sum of per-query min-of-trials wall seconds, headline link-graph suite (PageRank k10 joinagg/csr/csr-scale, converged PageRank on csr, CC, LPA, triangles) on transcript graph derived from events",
+        "metric": "sum of per-query min-of-trials wall seconds: link-graph suite (PageRank k10 joinagg/csr/csr-scale, converged PageRank on csr, CC, LPA, triangles, on the transcript graph derived from events) + LLM-pipeline suite (pipe_* rows, new in r4: dedup cascade, minhash/simhash/ngram pairs, sessionize+stats, IVF top-k on the sf documents/embeddings/events tables) — r<=3 values summed the link-graph rows only",
         "value": total,
         "unit": "sec",
         "queries": queries,

@@ -28,7 +28,11 @@ def main(argv=None) -> int:
     src.add_argument("--events", help="events parquet to derive transcripts from")
     ap.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles", "clustering"])
     ap.add_argument("--output", required=True)
-    ap.add_argument("--rounds", type=int, default=10, help="LPA rounds / CC max rounds cap")
+    ap.add_argument(
+        "--rounds", type=int, default=None,
+        help="LPA rounds (default 10) / CC max-rounds cap (default 200) — "
+        "used as given, raising OR lowering the per-algo default",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--checkpoint", default=None, help="checkpoint root (cc/lpa resume)")
     ap.add_argument("--run-id", default="run-0")
@@ -54,14 +58,16 @@ def main(argv=None) -> int:
         from pagerank_optimization_spark.operators.components import connected_components
 
         out = connected_components(
-            vertices, edges, max_rounds=max(args.rounds, 200),
+            vertices, edges,
+            max_rounds=args.rounds if args.rounds is not None else 200,
             partitions=args.partitions, checkpointer=cm,
         )
     elif args.algo == "lpa":
         from pagerank_optimization_spark.operators.lpa import label_propagation
 
         out = label_propagation(
-            vertices, edges, rounds=args.rounds,
+            vertices, edges,
+            rounds=args.rounds if args.rounds is not None else 10,
             partitions=args.partitions, checkpointer=cm,
         )
     elif args.algo == "triangles":

@@ -42,12 +42,59 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).distinct()
 
 
-def _step(labels: DataFrame, sym: DataFrame) -> DataFrame:
+def prepare_gather(sym: DataFrame, partitions: int, hub_split):
+    """Build the per-round neighbor-gather join (shared by CC and LPA):
+    ``gather(attr_b)`` inner-joins the symmetrized edges against a table
+    UNIQUE on ``b`` (per-neighbor labels), returning (a, <payload cols>).
+
+    Skew defense (the CC/LPA analog of PageRank's measured hub salting,
+    plans.partitioning): the join shuffles by ``b``, so a power-law hub
+    concentrates its whole adjacency in ONE task every round. When the
+    degree probe fires (``hub_split="auto"``, or an explicit threshold),
+    hub rows spread over ceil(deg/thr) deterministic salts and ONLY the
+    hot neighbors' attribute rows replicate across their salt range — the
+    per-task input is bounded by ~thr rows per key at ANY scale, and the
+    replication volume is Σ n_salts ≈ |E|/thr.
+
+    → (gather_fn, persisted sym frame to unpersist after the loop)."""
+    from pagerank_optimization_spark.plans.partitioning import (
+        auto_hub_split_degree,
+        salted_unique_side,
+        with_key_degree_salt,
+    )
+
+    thr = None
+    if hub_split == "auto":
+        thr = auto_hub_split_degree(sym, key="b")
+    elif hub_split is not None:
+        thr = int(hub_split)
+    if thr:
+        salted, hubs = with_key_degree_salt(sym, key="b", hash_col="a", max_deg=thr)
+        salted = salted.repartition(partitions, "b", "ssalt").persist()
+        salted.count()
+        sym.unpersist()
+
+        def gather(attr_b: DataFrame) -> DataFrame:
+            return salted.join(salted_unique_side(attr_b, hubs, "b"), ["b", "ssalt"]).drop(
+                "ssalt"
+            )
+
+        return gather, salted
+
+    def gather(attr_b: DataFrame) -> DataFrame:
+        return sym.join(attr_b, "b", "inner")
+
+    return gather, sym
+
+
+def _step(labels: DataFrame, gather) -> DataFrame:
     """new_lbl(v) = min(lbl(v), min_{u ~ v} lbl(u)) — a gather (join on the
     neighbor side) + scatter-min (groupBy agg), the CC analog of the SpMV
-    gather-scatter (tuned_variant_baseline.c:83-90 with (+,*) → (min,id))."""
+    gather-scatter (tuned_variant_baseline.c:83-90 with (+,*) → (min,id)).
+    The scatter-min groupBy needs no salting: min is map-side combinable,
+    so a hub ``a`` reduces to ≤ P partial rows before the shuffle."""
     neighbor_min = (
-        sym.join(labels.withColumnRenamed("entity", "b"), "b", "inner")
+        gather(labels.withColumnRenamed("entity", "b"))
         .groupBy(F.col("a").alias("entity"))
         .agg(F.min("lbl").alias("nmin"))
     )
@@ -57,12 +104,33 @@ def _step(labels: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
-def _shortcut(labels: DataFrame) -> DataFrame:
+# Pointer-doubling lookup salt bound: a label with more members than this
+# gets its members' lookups spread over ceil(members/bound) salts. As a
+# component converges its min label owns ~|C| rows — at 100× scale the
+# unsalted lbl-keyed join funnels a giant component through ONE task. The
+# hot-label table is ≤ |V|/bound rows by construction (broadcast-safe).
+SHORTCUT_SALT_MEMBERS = 1_000_000
+
+
+def _shortcut(labels: DataFrame, *, max_members: int = SHORTCUT_SALT_MEMBERS) -> DataFrame:
     """Pointer doubling: lbl(v) ← lbl(lbl(v)). lbl(v) is an existing entity
     (a min over entities), so the self-join on lbl = entity always hits;
-    the left join + coalesce only guards degenerate inputs."""
+    the left join + coalesce only guards degenerate inputs.
+
+    The join key ``lbl`` degenerates as components converge (one label per
+    component), so hot labels — detected per round by a map-side-combined
+    count — are salted: members hash-spread over ceil(cnt/max_members)
+    salts, the unique lookup side replicated across the hot range only."""
+    from pagerank_optimization_spark.plans.partitioning import (
+        salted_unique_side,
+        with_key_degree_salt,
+    )
+
     l2 = labels.select(F.col("entity").alias("lbl"), F.col("lbl").alias("_lbl2"))
-    return labels.join(l2, "lbl", "left").select(
+    salted, hot = with_key_degree_salt(
+        labels, key="lbl", hash_col="entity", max_deg=max_members
+    )
+    return salted.join(salted_unique_side(l2, hot, "lbl"), ["lbl", "ssalt"], "left").select(
         "entity", F.coalesce(F.col("_lbl2"), F.col("lbl")).alias("lbl")
     )
 
@@ -74,13 +142,22 @@ def connected_components(
     fixed_rounds: int | None = None,
     max_rounds: int = 200,
     partitions: int | None = None,
+    hub_split="auto",
+    shortcut_salt_members: int = SHORTCUT_SALT_MEMBERS,
     checkpointer=None,
 ) -> DataFrame:
-    """→ DataFrame(entity, component) with component = min entity in the WCC."""
+    """→ DataFrame(entity, component) with component = min entity in the WCC.
+
+    ``hub_split``: "auto" (default — one degree probe at setup; salts the
+    per-round neighbor gather when the undirected degree histogram is
+    hub-skewed), an int threshold, or None (off). ``shortcut_salt_members``:
+    per-round hot-label salt bound for the pointer-doubling lookup (see
+    _shortcut). Both defenses change plans only, never values."""
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
+    gather, sym = prepare_gather(sym, partitions, hub_split)
 
     start_round = 0
     labels = None
@@ -101,13 +178,21 @@ def connected_components(
             if fixed_rounds is None:
                 # propagate + pointer-double; lazy checkpoint — materialized
                 # by the changed-count job
-                new_labels = _shortcut(_step(labels, sym)).localCheckpoint(eager=False)
+                # persist the propagation result: the salted _shortcut reads
+                # it three times (hot-label count agg, salted left side, and
+                # the l2 lookup side) — without the pin each read would
+                # recompute the gather join
+                stepped = _step(labels, gather).persist()
+                new_labels = _shortcut(
+                    stepped, max_members=shortcut_salt_members
+                ).localCheckpoint(eager=False)
                 changed = (
                     new_labels.withColumnRenamed("lbl", "new_lbl")
                     .join(labels, "entity")
                     .filter(F.col("new_lbl") != F.col("lbl"))
                     .count()
                 )
+                stepped.unpersist()
                 labels = new_labels
                 if checkpointer is not None:
                     checkpointer.save(
@@ -120,7 +205,7 @@ def connected_components(
                 if changed == 0:
                     break
             else:
-                labels = _step(labels, sym).localCheckpoint(eager=True)
+                labels = _step(labels, gather).localCheckpoint(eager=True)
                 if checkpointer is not None:
                     checkpointer.save(
                         it, labels,

@@ -84,13 +84,28 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int = 1000,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard near-duplicate pairs: → (a, b, jaccard) with
     a < b and jaccard ≥ threshold. Shingle self-join + |A∩B| count, sizes
-    joined back for |A∪B| = |A|+|B|−|A∩B|."""
+    joined back for |A∪B| = |A|+|B|−|A∩B|.
+
+    ``counters``: pass a dict to have the skew-cap fire counts recorded
+    into it (shingles_capped = distinct shingles dropped by
+    max_shingle_freq, shingle_rows_capped = doc-shingle rows those carried)
+    — costs one extra aggregation job; bench-only, leave None in
+    pipelines."""
     sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
     # skew guard: drop boilerplate shingles with pathological fan-out
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if counters is not None:
+        row = (
+            freq.filter(F.col("df") > max_shingle_freq)
+            .agg(F.count("*").alias("n"), F.coalesce(F.sum("df"), F.lit(0)).alias("rows"))
+            .collect()[0]
+        )
+        counters["shingles_capped"] = int(row["n"])
+        counters["shingle_rows_capped"] = int(row["rows"])
     sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -159,6 +174,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int = 500,
     hasher: str = "xxhash64",
+    counters: dict | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + signature-level verification:
     → (a, b, est_jaccard) with a < b, est_jaccard (matching signature
@@ -166,7 +182,12 @@ def minhash_lsh_pairs(
     band buckets; bucket size capped (skew guard for boilerplate-heavy
     corpora). ``hasher="portable"`` uses the oracle-reproducible hash
     family and joins on the raw band-key string (no re-hash — the oracle
-    must see identical buckets)."""
+    must see identical buckets).
+
+    ``counters``: pass a dict to record the bucket-cap fire counts
+    (buckets_capped = band buckets dropped by max_bucket_size,
+    bucket_rows_capped = banded rows those buckets carried) — one extra
+    aggregation job; bench-only."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(
@@ -191,6 +212,14 @@ def minhash_lsh_pairs(
     )
     # skew guard: drop pathologically large buckets
     bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
+    if counters is not None:
+        row = (
+            bucket_sizes.filter(F.col("bs") > max_bucket_size)
+            .agg(F.count("*").alias("n"), F.coalesce(F.sum("bs"), F.lit(0)).alias("rows"))
+            .collect()[0]
+        )
+        counters["buckets_capped"] = int(row["n"])
+        counters["bucket_rows_capped"] = int(row["rows"])
     banded = banded.join(
         bucket_sizes.filter(F.col("bs") <= max_bucket_size), ["band", "bh"], "left_semi"
     )
@@ -311,27 +340,48 @@ def simhash_pairs(
 
 
 def _collapse_pair_families(survivors: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Drop every doc except the min-id representative of its duplicate
-    FAMILY (connected component of the pair graph) — pairwise greedy
-    dropping under-removes on chains (a~b, b~c without a~c); the engine's
-    own connected_components operator (pointer-doubled min-label) resolves
-    transitivity exactly. Ids are zero-padded to strings so lexicographic
-    min == numeric min. Only docs that appear in a pair enter the CC run —
-    isolated docs survive without touching the loop."""
+    """Drop every doc except one representative of its duplicate FAMILY
+    (connected component of the pair graph) — pairwise greedy dropping
+    under-removes on chains (a~b, b~c without a~c); the engine's own
+    connected_components operator (pointer-doubled min-label) resolves
+    transitivity exactly. Only docs that appear in a pair enter the CC run
+    — isolated docs survive without touching the loop.
+
+    Id domain: integral ids are zero-padded to 20-char strings (long max is
+    19 digits) so lexicographic min == numeric min for the non-negative ids
+    every corpus uses; string ids run as-is (representative = lexicographic
+    min). Losers NEVER leave the string key domain — survivors anti-join on
+    the same key expression, so no cast round-trip can silently null out
+    the join (a long→string→long trip drops non-numeric ids). Other id
+    types raise."""
+    from pyspark.sql import types as T
     from pagerank_optimization_spark.operators.components import connected_components
 
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    id_type = next(f.dataType for f in survivors.schema.fields if f.name == id_col)
+    if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        key = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    elif isinstance(id_type, T.StringType):
+        key = lambda c: F.col(c)  # noqa: E731
+    else:
+        raise TypeError(
+            f"dedup family collapse needs an integral or string id column; "
+            f"{id_col} is {id_type.simpleString()}"
+        )
     vertices = (
-        pairs.select(pad("a").alias("entity"))
-        .unionByName(pairs.select(pad("b").alias("entity")))
+        pairs.select(key("a").alias("entity"))
+        .unionByName(pairs.select(key("b").alias("entity")))
         .distinct()
     )
-    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    edges = pairs.select(key("a").alias("src"), key("b").alias("dst"))
     comp = connected_components(vertices, edges)
     losers = comp.filter(F.col("entity") != F.col("component")).select(
-        F.col("entity").cast("long").alias(id_col)
+        F.col("entity").alias("_loser_key")
     )
-    return survivors.join(losers, id_col, "left_anti")
+    return (
+        survivors.withColumn("_fam_key", key(id_col))
+        .join(losers, F.col("_fam_key") == F.col("_loser_key"), "left_anti")
+        .drop("_fam_key")
+    )
 
 
 def dedup_cascade(
@@ -345,6 +395,7 @@ def dedup_cascade(
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
     hasher: str = "xxhash64",
+    counters: dict | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """The standard training-corpus dedup ladder as ONE job: exact →
     MinHash-LSH → (optional) semantic near-dup, each stage operating only
@@ -361,7 +412,9 @@ def dedup_cascade(
     components of the pair graph — transitively exact, not pairwise-greedy.
     Scale shape: each stage is the already-bucketed sub-quadratic operator
     (hash groupBy / banded LSH with bucket caps / LSH-bucketed cosine);
-    the cascade adds only id anti-joins between stages."""
+    the cascade adds only id anti-joins between stages.
+    ``counters``: optional dict, forwarded to the MinHash-LSH stage to
+    record its bucket-cap fire counts (bench-only; costs one extra job)."""
     stats: list[dict] = []
     survivors = documents.persist()
     n = survivors.count()
@@ -376,7 +429,7 @@ def dedup_cascade(
 
     mh_pairs = minhash_lsh_pairs(
         survivors, threshold=minhash_threshold, id_col=id_col, text_col=text_col,
-        hasher=hasher,
+        hasher=hasher, counters=counters,
     )
     nxt = _collapse_pair_families(survivors, mh_pairs, id_col).persist()
     n1 = nxt.count()

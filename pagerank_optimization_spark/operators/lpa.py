@@ -5,6 +5,10 @@ lexicographic-min label (a total order, SURVEY.md §7 hard-part 5); a vertex
 with no neighbors keeps its label. Synchronous LPA can oscillate on
 bipartite structures, so the round count is capped (default 10) rather than
 run to fixpoint — rounds are part of the operator's contract.
+``until_stable=True`` adds an early stop: when a round changes no label the
+loop exits (the remaining rounds would be identity — same changed-count
+probe as connected_components), with ``rounds`` retained as the oscillation
+cap.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from pagerank_optimization_spark.operators.components import symmetrize
+from pagerank_optimization_spark.operators.components import prepare_gather, symmetrize
 
 
 def label_propagation(
@@ -20,11 +24,22 @@ def label_propagation(
     edges: DataFrame,
     *,
     rounds: int = 10,
+    until_stable: bool = False,
     partitions: int | None = None,
+    hub_split="auto",
     checkpointer=None,
 ) -> DataFrame:
     """→ DataFrame(entity, label) after ``rounds`` synchronous supersteps.
 
+    ``until_stable``: stop early when a round changes no label (labels at
+    the fixpoint are identical to running all remaining rounds, so the
+    fixed-rounds contract is preserved — the cap still bounds oscillation).
+    ``hub_split``: "auto"/int/None — salts the per-round neighbor gather
+    when the degree histogram is hub-skewed (components.prepare_gather;
+    same defense as CC). The (entity, label) count agg and the argmax
+    window after the gather are naturally bounded: the count is map-side
+    combinable, and the window partition carries at most one row per
+    distinct neighbor label.
     ``checkpointer``: optional CheckpointManager — labels land durably per
     round under the same commit protocol as PageRank ranks; a killed run
     resumes at the first unfinished round, bitwise-identical (labels are
@@ -35,6 +50,7 @@ def label_propagation(
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
+    gather, sym = prepare_gather(sym, partitions, hub_split)
 
     start_round = 0
     labels = None
@@ -54,7 +70,7 @@ def label_propagation(
             # gather neighbor labels, count per (vertex, label), pick argmax with
             # min-label tie-break via one window (count desc, label asc)
             neigh = (
-                sym.join(labels.withColumnRenamed("entity", "b"), "b", "inner")
+                gather(labels.withColumnRenamed("entity", "b"))
                 .groupBy(F.col("a").alias("entity"), "label")
                 .agg(F.count("*").alias("cnt"))
             )
@@ -64,17 +80,31 @@ def label_propagation(
                 .filter(F.col("rn") == 1)
                 .select("entity", F.col("label").alias("new_label"))
             )
-            labels = (
+            new_labels = (
                 labels.join(best, "entity", "left")
                 .select("entity", F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=not until_stable)
             )
-            if checkpointer is not None:
-                checkpointer.save(
-                    it, labels,
-                    {"superstep": it, "edges_processed": n_sym,
-                     "wall_ms": (time.monotonic() - t0) * 1000.0,
-                     "n_partitions": partitions},
+            changed = None
+            if until_stable:
+                # changed-count probe (components.connected_components pattern):
+                # materializes the lazy checkpoint and reads the stop signal
+                # in one job
+                changed = (
+                    new_labels.withColumnRenamed("label", "new_label")
+                    .join(labels, "entity")
+                    .filter(F.col("new_label") != F.col("label"))
+                    .count()
                 )
+            labels = new_labels
+            if checkpointer is not None:
+                row = {"superstep": it, "edges_processed": n_sym,
+                       "wall_ms": (time.monotonic() - t0) * 1000.0,
+                       "n_partitions": partitions}
+                if changed is not None:
+                    row["labels_changed"] = changed
+                checkpointer.save(it, labels, row)
+            if until_stable and changed == 0:
+                break
     sym.unpersist()
     return labels

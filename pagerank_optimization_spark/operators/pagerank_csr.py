@@ -368,11 +368,70 @@ def _iterate_csr_fused(
                 next_dm = float(pdf["dang_pr"].to_numpy().sum())
                 ranks_pdf = pdf[["vid", "pr"]]
             else:
+                import pyarrow as pa
+
+                def fused_arrow(key, blk: "pa.Table", routed_tb: "pa.Table") -> "pa.Table":
+                    """Arrow-native fused superstep (scale mode): columns
+                    come straight off the shuffle as Arrow buffers and go
+                    back as Arrow buffers — no pandas Block materialization
+                    on either side of the boundary (measured in round 3 as
+                    the scale mode's dominant per-superstep cost). Math is
+                    numpy, identical ops/order to the pandas kernel."""
+                    b = int(key[0].as_py())
+                    m = _bucket_size(n_, b, P)
+                    if m == 0:
+                        return pa.table(
+                            {
+                                "vid": pa.array([], type=pa.int64()),
+                                "pr": pa.array([], type=pa.float64()),
+                                "abs_delta": pa.array([], type=pa.float64()),
+                                "dang_pr": pa.array([], type=pa.float64()),
+                            }
+                        )
+                    pos = routed_tb["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+                    pr = routed_tb["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+                    tag = routed_tb["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+                    own = tag == 0
+                    old = np.zeros(m, dtype=np.float64)
+                    old[pos[own]] = pr[own]
+                    acc = np.zeros(m, dtype=np.float64)
+                    reset_arr = None
+                    if blk.num_rows > 0:
+                        src_idx_buf = blk["src_idx"][0].as_py()
+                        if src_idx_buf is not None:
+                            src_idx = np.frombuffer(src_idx_buf, dtype=np.int64)
+                            indptr = np.frombuffer(blk["indptr"][0].as_py(), dtype=np.int64)
+                            dst_local = np.frombuffer(blk["dst_local"][0].as_py(), dtype=np.int64)
+                            w = np.frombuffer(blk["weight"][0].as_py(), dtype=np.float64)
+                            x = np.zeros(int(blk["n_src"][0].as_py()), dtype=np.float64)
+                            x[pos[~own]] = pr[~own]
+                            contrib = w * x[src_idx]                   # gather+mul
+                            acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
+                        mask = np.frombuffer(blk["dang_mask"][0].as_py(), dtype=np.uint8).astype(bool)
+                        ra = blk["reset_arr"][0].as_py()
+                        if ra is not None:
+                            reset_arr = np.frombuffer(ra, dtype=np.float64)
+                    else:
+                        mask = np.zeros(m, dtype=bool)
+                    if reset_arr is not None:
+                        base = ((1.0 - d_) + d_ * dm) * reset_arr
+                    else:
+                        base = (1.0 - d_) / n_ + d_ * dm / n_
+                    new = base + d_ * acc
+                    return pa.table(
+                        {
+                            "vid": pa.array(b + P * np.arange(m, dtype=np.int64)),
+                            "pr": pa.array(new),
+                            "abs_delta": pa.array(np.abs(new - old)),
+                            "dang_pr": pa.array(np.where(mask, new, 0.0)),
+                        }
+                    )
+
                 routed = routes.hint("merge").join(ranks, "vid")
                 state = (
                     blocks_aux.groupBy("bucket")
                     .cogroup(routed.select("bucket", "pos", "pr", "tag").groupBy("bucket"))
-                    .applyInPandas(fused, schema=STATE_SCHEMA)
+                    .applyInArrow(fused_arrow, schema=STATE_SCHEMA)
                 )
                 state = state.localCheckpoint(eager=False)
                 # ONE scalar job materializes the checkpoint AND reads the

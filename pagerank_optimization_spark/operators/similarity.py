@@ -191,20 +191,21 @@ def ivf_train(
         # O(1) expressions regardless of embedding dim (the previous
         # dim-many F.sum(unit[i]) columns were a 768-4096-expression
         # aggregate at real embedding widths — plan-compile blowup, not a
-        # data problem); the collected k×dim matrix is driver-tiny
-        counts = {
-            r["cid"]: r["n"]
-            for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
-        }
+        # data problem); the collected k×dim matrix is driver-tiny.
+        # ONE action per Lloyd round: the per-cid member count rides along
+        # as count(*) on every (cid, pos) cell (all cells of a cid see the
+        # same members), so the assignment pass runs exactly once.
         cell_sums = (
             assigned.select("cid", F.posexplode("unit").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"))
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
             .collect()
         )
+        counts: dict[int, int] = {}
         acc = np.zeros_like(cents)
         for r in cell_sums:
             acc[r["cid"], r["pos"]] = r["s"]
+            counts[r["cid"]] = r["n"]
         new = cents.copy()
         for cid, n_members in counts.items():
             v = acc[cid] / n_members

@@ -360,16 +360,24 @@ def docs_dedup_cascade_sql(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 500,
-    cc_rounds: int = 12,
+    cc_rounds: int = 24,
 ) -> str:
     """doc_id of cascade survivors — mirrors operators.dedup.dedup_cascade
     (hasher='portable', no embeddings): exact tier (min doc_id per
     normalized-text class), then the portable-MinHash banded-LSH pairs of
     docs_minhash_pairs_sql computed over the EXACT-TIER SURVIVORS, then
     the duplicate families collapsed to their min doc_id via min-label
-    propagation unrolled ``cc_rounds`` rounds (families are near-dup
-    chains of a handful of docs, so 12 rounds ≥ any family diameter; the
-    Spark side's pointer-doubled CC reaches the identical fixpoint)."""
+    propagation unrolled ``cc_rounds`` rounds.
+
+    DATA ASSUMPTION: the unroll is exact only when every duplicate
+    family's min-label propagation distance is ≤ cc_rounds (the Spark side
+    iterates to the true fixpoint). Families are near-dup chains of a
+    handful of docs, so the default 24 carries ≥2× margin over any
+    plausible family diameter at oracle scale — and the guard makes the
+    assumption self-checking: if round cc_rounds still changed any label,
+    the oracle emits a sentinel doc_id -1 row, so a too-shallow unroll
+    fails the driver compare LOUDLY (visible bogus row) instead of
+    silently disagreeing with the engine's exact fixpoint."""
     rows = num_perm // bands
     mins = ",\n         ".join(
         f"min((h*{MINHASH_A(i)} + {MINHASH_B(i)}) % {POLY_P}) AS m{i}"
@@ -447,6 +455,13 @@ lbl0 AS (
   SELECT v, v AS lbl FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs)
 ),
 {cc_sql},
-losers AS (SELECT v FROM lbl{cc_rounds} WHERE lbl <> v)
+losers AS (SELECT v FROM lbl{cc_rounds} WHERE lbl <> v),
+not_conv AS (
+  SELECT count(*) AS c
+  FROM lbl{cc_rounds} j JOIN lbl{cc_rounds - 1} p USING (v)
+  WHERE j.lbl <> p.lbl
+)
 SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT v FROM losers)
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id WHERE (SELECT c FROM not_conv) > 0
 """

@@ -82,32 +82,62 @@ def auto_hub_split_degree(
     return threshold if row["mx"] > threshold else None
 
 
-def with_src_degree_salt(
-    edges: DataFrame, *, max_deg: int = 10_000
+def with_key_degree_salt(
+    df: DataFrame, *, key: str, hash_col: str, max_deg: int = 10_000
 ) -> tuple[DataFrame, DataFrame]:
-    """Join-side hub defense: srcs with outdeg > max_deg get their edge
-    list spread over ceil(outdeg/max_deg) salts by xxhash64(dst)
-    (deterministic, no RNG). → (edges + ssalt, hubs(src, n_salts)).
-    The hubs table holds ONLY the outlier srcs — tiny by the auto bound's
-    p99 construction, safe to broadcast."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).filter(
-        F.col("outdeg") > max_deg
+    """Generic join-side hub defense: rows whose ``key`` multiplicity
+    exceeds max_deg get spread over ceil(cnt/max_deg) salts by
+    xxhash64(hash_col) (deterministic, no RNG). → (df + ssalt,
+    hubs(key, n_salts)). The hubs table holds ONLY outlier keys — its size
+    is bounded by count(df)/max_deg regardless of the skew shape (a key is
+    hot precisely because it owns many rows, so there cannot be many hot
+    keys), safe to broadcast. Used by the PageRank gather (key=src), the
+    CC/LPA neighbor gathers (key=b), and the CC pointer-doubling lookup
+    (key=lbl)."""
+    deg = df.groupBy(key).agg(F.count("*").alias("_deg")).filter(
+        F.col("_deg") > max_deg
     )
     hubs = deg.select(
-        "src", F.ceil(F.col("outdeg") / F.lit(max_deg)).cast("int").alias("n_salts")
+        key, F.ceil(F.col("_deg") / F.lit(max_deg)).cast("int").alias("n_salts")
     )
     salted = (
-        edges.join(F.broadcast(hubs), "src", "left")
+        df.join(F.broadcast(hubs), key, "left")
         .withColumn(
             "ssalt",
             F.when(
                 F.col("n_salts").isNotNull(),
-                F.pmod(F.xxhash64("dst"), F.col("n_salts")).cast("int"),
+                F.pmod(F.xxhash64(hash_col), F.col("n_salts")).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("n_salts")
     )
     return salted, hubs
+
+
+def salted_unique_side(right: DataFrame, hubs: DataFrame, key: str) -> DataFrame:
+    """The other half of the salted join: replicate the UNIQUE-per-key side
+    across each hot key's salt range (non-hot keys keep the singleton salt
+    0), so ``salted.join(salted_unique_side(right, hubs, key),
+    [key, "ssalt"])`` is row-equivalent to the unsalted join while no task
+    receives more than ~max_deg rows of one key. Replication volume =
+    Σ_hot n_salts ≈ count(left)/max_deg — negligible."""
+    return (
+        right.join(F.broadcast(hubs), key, "left")
+        .withColumn(
+            "ssalt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)),
+        )
+        .drop("n_salts")
+    )
+
+
+def with_src_degree_salt(
+    edges: DataFrame, *, max_deg: int = 10_000
+) -> tuple[DataFrame, DataFrame]:
+    """Join-side hub defense for the PageRank gather: srcs with outdeg >
+    max_deg get their edge list spread over ceil(outdeg/max_deg) salts by
+    xxhash64(dst). → (edges + ssalt, hubs(src, n_salts))."""
+    return with_key_degree_salt(edges, key="src", hash_col="dst", max_deg=max_deg)
 
 
 def src_salted_pagerank_step(salted_edges: DataFrame, hubs: DataFrame, id_col: str = "entity"):

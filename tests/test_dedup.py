@@ -151,3 +151,31 @@ def test_dedup_cascade_planted_families(spark):
     assert by_stage["minhash_lsh"]["removed"] == 1   # 11
     assert by_stage["semantic"]["removed"] == 1      # 21
     assert by_stage["semantic"]["survivors"] == 5
+
+
+def test_collapse_families_string_ids(spark):
+    """Family collapse must work in the id's own domain: string ids used to
+    be silently dropped by a string→long cast (losers nulled out → nothing
+    removed). A chain family a~b, b~c over string ids must collapse to its
+    lexicographic-min member."""
+    from pagerank_optimization_spark.operators.dedup import _collapse_pair_families
+
+    survivors = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-lonely",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "a string, b string"
+    )
+    out = sorted(r.doc_id for r in _collapse_pair_families(survivors, pairs, "doc_id").collect())
+    assert out == ["doc-a", "doc-lonely"]
+
+
+def test_collapse_families_rejects_unsupported_id_type(spark):
+    import pytest
+
+    from pagerank_optimization_spark.operators.dedup import _collapse_pair_families
+
+    survivors = spark.createDataFrame([(1.5,)], "doc_id double")
+    pairs = spark.createDataFrame([(1.5, 2.5)], "a double, b double")
+    with pytest.raises(TypeError):
+        _collapse_pair_families(survivors, pairs, "doc_id")

@@ -138,3 +138,32 @@ def test_clustering_coefficients_small(spark):
     assert out["a"][0] == 3 and out["a"][1] == 1
     assert abs(out["a"][2] - 1.0 / 3.0) < 1e-8
     assert out["d"] == (1, 0, 0.0)
+
+
+def test_lpa_until_stable_stops_early_identical_labels(spark, tmp_path):
+    """until_stable: a graph whose LPA reaches its fixpoint quickly must
+    stop as soon as a round changes nothing (observable via the number of
+    checkpointed rounds) and return labels identical to the fixed-rounds
+    contract run (the skipped rounds are identity at the fixpoint)."""
+    from pagerank_optimization_spark.checkpoint import CheckpointManager
+
+    # two disjoint triangles: both collapse to their min label and freeze
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    vertices = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "entity string"
+    )
+    want = {r.entity: r.label for r in label_propagation(vertices, edges, rounds=10).collect()}
+
+    cm = CheckpointManager(spark, str(tmp_path), "lpa-stable", id_col="entity")
+    got = {
+        r.entity: r.label
+        for r in label_propagation(
+            vertices, edges, rounds=10, until_stable=True, checkpointer=cm
+        ).collect()
+    }
+    assert got == want
+    stopped_at = cm.last_complete_superstep()
+    assert stopped_at is not None and stopped_at < 9  # early stop happened

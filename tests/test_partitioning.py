@@ -201,3 +201,81 @@ def test_contrib_agg_has_partial_phase(graph):
         .agg(F.sum(F.col("weight") * F.col("pr")).alias("contrib"))
     )
     assert_partial_aggregation(contribs)
+
+
+def test_cc_lpa_gather_salting_bounded_and_exact(spark):
+    """Planted hub + giant component (the CC/LPA 100x hazard): a 4000-leaf
+    star. Unsalted, the per-round neighbor gather puts all 4000 hub rows in
+    ONE task's key, and once the component converges the pointer-doubling
+    join funnels every member through the single hot label. With forced
+    small thresholds both defenses must (a) fire, (b) bound the per-(key,
+    salt) fan-in, and (c) leave CC/LPA values exactly unchanged."""
+    from pyspark.sql import functions as F
+
+    from pagerank_optimization_spark.operators.components import (
+        _shortcut,
+        connected_components,
+        symmetrize,
+    )
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+    from pagerank_optimization_spark.plans.partitioning import with_key_degree_salt
+
+    n_leaves = 4000
+    vertices = spark.createDataFrame(
+        [("h000",)] + [(f"leaf{i:05d}",) for i in range(n_leaves)], "entity string"
+    )
+    edges = spark.createDataFrame(
+        [("h000", f"leaf{i:05d}") for i in range(n_leaves)], "src string, dst string"
+    )
+
+    # (b) the salted gather's fan-in bound: no (b, ssalt) key exceeds ~thr
+    sym = symmetrize(edges)
+    thr = 250
+    salted, hubs = with_key_degree_salt(sym, key="b", hash_col="a", max_deg=thr)
+    assert hubs.count() == 1  # the hub fired
+    mx = salted.groupBy("b", "ssalt").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 2 * thr, f"salted gather key still hot: {mx} rows"
+
+    # row-equivalence of the salted join vs the unsalted one
+    from pagerank_optimization_spark.plans.partitioning import salted_unique_side
+
+    lbl_b = vertices.select(F.col("entity").alias("b"), F.col("entity").alias("lbl"))
+    plain = sym.join(lbl_b, "b").select("a", "b", "lbl")
+    via_salt = (
+        salted.join(salted_unique_side(lbl_b, hubs, "b"), ["b", "ssalt"])
+        .select("a", "b", "lbl")
+    )
+    assert plain.exceptAll(via_salt).count() == 0
+    assert via_salt.exceptAll(plain).count() == 0
+
+    # (b') the doubling lookup under a degenerate hot label
+    hot_labels = spark.createDataFrame(
+        [(f"leaf{i:05d}", "h000") for i in range(n_leaves)] + [("h000", "h000")],
+        "entity string, lbl string",
+    )
+    lsalted, lhot = with_key_degree_salt(
+        hot_labels, key="lbl", hash_col="entity", max_deg=200
+    )
+    assert lhot.count() == 1
+    lmx = lsalted.groupBy("lbl", "ssalt").count().agg(F.max("count")).collect()[0][0]
+    assert lmx <= 400, f"salted doubling key still hot: {lmx} rows"
+    doubled = {r.entity: r.lbl for r in _shortcut(hot_labels, max_members=200).collect()}
+    assert doubled == {r.entity: "h000" for r in hot_labels.collect()}
+
+    # (c) end-to-end exactness with both defenses forced on
+    got = {
+        r.entity: r.component
+        for r in connected_components(
+            vertices, edges, hub_split=thr, shortcut_salt_members=200, partitions=8
+        ).collect()
+    }
+    assert set(got.values()) == {"h000"} and len(got) == n_leaves + 1
+    lpa_salted = {
+        r.entity: r.label
+        for r in label_propagation(vertices, edges, rounds=3, hub_split=thr, partitions=8).collect()
+    }
+    lpa_plain = {
+        r.entity: r.label
+        for r in label_propagation(vertices, edges, rounds=3, hub_split=None, partitions=8).collect()
+    }
+    assert lpa_salted == lpa_plain

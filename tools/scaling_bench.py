@@ -14,20 +14,24 @@ Protocol:
   task set unchanged);
 - min-of-trials per level (timer_op.c:52-61): this box shows 2-3× ambient
   wall-clock noise; the min of repeated passes is the quiet-machine
-  number. Two compute figures per level:
-    compute_seconds  — min over trials of the summed per-superstep walls;
+  number. Trials are INTERLEAVED across levels (small, large, small,
+  large, ...), each trial a fresh JVM — co-tenant drift over the session
+  hits both levels equally instead of biasing whichever level ran later
+  (the ratio is the fragile quantity; round 3 measured 0.87→0.70 swings
+  on identical code from un-interleaved drift). Two compute figures per
+  level:
+    compute_seconds  — min over trials of the summed per-superstep walls
+                       (the HEADLINE estimator);
     floor_seconds    — K0 × the min single-superstep wall across ALL
                        trials' supersteps (min-of-trials at superstep
-                       granularity — each level's steady-state floor,
-                       the same quantity timer_op.c's min approximates).
-  Efficiency is reported for both; ambient noise inflates the sum, so on
-  a co-tenant box the floor is the stabler estimate of the machine's
-  actual per-superstep cost.
+                       granularity — a supplementary lower-bound estimate
+                       of each level's steady state; reported, never the
+                       headline).
 
 Usage:
   python tools/scaling_bench.py                    # orchestrate, write BENCH/BASELINE.md
   python tools/scaling_bench.py --prepare NCONV DIR
-  python tools/scaling_bench.py --run CORES DIR    # one measurement (subprocess mode)
+  python tools/scaling_bench.py --run CORES DIR    # one trial (subprocess mode)
 """
 
 from __future__ import annotations
@@ -66,6 +70,9 @@ def prepare(n_conv: int, out_dir: str) -> None:
 
 
 def run_one(cores: int, in_dir: str) -> None:
+    """ONE trial in a fresh JVM: a single k0-superstep pagerank pass.
+    Trials are interleaved across levels by the orchestrator; min-of-trials
+    aggregation happens there."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pagerank_optimization_spark.operators.pagerank import pagerank
     from pagerank_optimization_spark.session import get_spark
@@ -79,18 +86,9 @@ def run_one(cores: int, in_dir: str) -> None:
     edges = spark.read.parquet(f"{in_dir}/edges.parquet").persist()
     n_v, n_e = vertices.count(), edges.count()
     n_conv = json.load(open(f"{in_dir}/meta.json"))["n_conv"]
-    times, compute_times, superstep_walls = [], [], []
-    for _ in range(TRIALS):
-        t0 = time.monotonic()
-        res = pagerank(vertices, edges, fixed_iters=K0, partitions=parts)
-        times.append(time.monotonic() - t0)
-        # steady-state compute: per-superstep walls, excluding the one-time
-        # DISTRIBUTE_DATA setup — the region the reference times (timer_op.c)
-        compute_times.append(sum(m["wall_ms"] for m in res.metrics) / 1000.0)
-        superstep_walls.extend(m["wall_ms"] for m in res.metrics)
-    dt = min(times)
-    ct = min(compute_times)
-    floor = K0 * min(superstep_walls) / 1000.0
+    t0 = time.monotonic()
+    res = pagerank(vertices, edges, fixed_iters=K0, partitions=parts)
+    dt = time.monotonic() - t0
     print(
         json.dumps(
             {
@@ -99,14 +97,37 @@ def run_one(cores: int, in_dir: str) -> None:
                 "vertices": n_v,
                 "edges": n_e,
                 "seconds": round(dt, 3),
-                "compute_seconds": round(ct, 3),
-                "floor_seconds": round(floor, 3),
+                # steady-state compute: per-superstep walls, excluding the
+                # one-time DISTRIBUTE_DATA setup — the region the reference
+                # times (timer_op.c)
+                "compute_seconds": round(sum(m["wall_ms"] for m in res.metrics) / 1000.0, 3),
+                "superstep_walls_ms": [round(m["wall_ms"], 1) for m in res.metrics],
                 "supersteps": res.iterations,
-                "edges_per_sec_per_superstep": round(n_e * K0 / ct),
-                "edges_per_sec_per_superstep_floor": round(n_e * K0 / floor),
             }
         )
     )
+
+
+def _aggregate(runs: list[dict]) -> dict:
+    """min-of-trials per level: compute = min of summed-superstep walls;
+    floor = K0 × min single-superstep wall across ALL trials."""
+    r0 = runs[0]
+    ct = min(r["compute_seconds"] for r in runs)
+    floor = K0 * min(w for r in runs for w in r["superstep_walls_ms"]) / 1000.0
+    return {
+        "cores": r0["cores"],
+        "n_conv": r0["n_conv"],
+        "vertices": r0["vertices"],
+        "edges": r0["edges"],
+        "seconds": min(r["seconds"] for r in runs),
+        "compute_seconds": round(ct, 3),
+        "floor_seconds": round(floor, 3),
+        "supersteps": r0["supersteps"],
+        "trials": len(runs),
+        "compute_seconds_all": [r["compute_seconds"] for r in runs],
+        "edges_per_sec_per_superstep": round(r0["edges"] * K0 / ct),
+        "edges_per_sec_per_superstep_floor": round(r0["edges"] * K0 / floor),
+    }
 
 
 def orchestrate() -> None:
@@ -122,17 +143,18 @@ def orchestrate() -> None:
             [sys.executable, here, "--prepare", str(N_CONV), INPUT_DIR],
             check=True, cwd=cwd,
         )
-    results = []
-    for cores in (N_SMALL, N_LARGE):
-        print(f"running local[{cores}] ...", file=sys.stderr, flush=True)
-        out = subprocess.run(
-            [sys.executable, here, "--run", str(cores), INPUT_DIR],
-            capture_output=True, text=True, check=True, cwd=cwd,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
-        print(line, file=sys.stderr, flush=True)
-    small, large = results
+    per: dict[int, list[dict]] = {N_SMALL: [], N_LARGE: []}
+    for t in range(TRIALS):
+        for cores in (N_SMALL, N_LARGE):  # interleaved: drift hits both levels
+            print(f"trial {t} local[{cores}] ...", file=sys.stderr, flush=True)
+            out = subprocess.run(
+                [sys.executable, here, "--run", str(cores), INPUT_DIR],
+                capture_output=True, text=True, check=True, cwd=cwd,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            per[cores].append(json.loads(line))
+            print(line, file=sys.stderr, flush=True)
+    small, large = _aggregate(per[N_SMALL]), _aggregate(per[N_LARGE])
     # efficiency over the steady-state compute region (per-superstep walls):
     # the one-time DISTRIBUTE_DATA is excluded, exactly as the reference's
     # timer starts after distribution — throughput is what must scale
@@ -166,35 +188,40 @@ transcript graph (seed=42, n_conv={s["n_conv"]:,}, |V|={s["vertices"]:,},
 |E|={s["edges"]:,}, prepared once to parquet) — runs at local[{s["cores"]}]
 and local[{l["cores"]}] in fresh JVMs on the same on-disk input, with the
 partition count pinned to the large level (identical task set; only
-thread parallelism varies). MIN over {TRIALS} passes per level (the
-reference's min-of-trials, timer_op.c:52-61 — this box carries 2-3×
-ambient noise from co-tenant VMs).
+thread parallelism varies). MIN over {TRIALS} INTERLEAVED passes per level
+(small, large, small, large, ... — each trial a fresh JVM, so session-scale
+co-tenant drift hits both levels instead of biasing one; the reference's
+min-of-trials, timer_op.c:52-61 — this box carries 2-3× ambient noise).
 
-| parallelism | compute s (k0={K0} supersteps) | superstep-floor s (k0 × min superstep) | total wall s | edges/sec/superstep (floor) |
+| parallelism | compute s (k0={K0} supersteps, HEADLINE) | superstep-floor s (k0 × min superstep) | total wall s | edges/sec/superstep (compute) |
 |---|---|---|---|---|
-| local[{s["cores"]}] | {s["compute_seconds"]} | {s["floor_seconds"]} | {s["seconds"]} | {s["edges_per_sec_per_superstep_floor"]:,} |
-| local[{l["cores"]}] | {l["compute_seconds"]} | {l["floor_seconds"]} | {l["seconds"]} | {l["edges_per_sec_per_superstep_floor"]:,} |
+| local[{s["cores"]}] | {s["compute_seconds"]} | {s["floor_seconds"]} | {s["seconds"]} | {s["edges_per_sec_per_superstep"]:,} |
+| local[{l["cores"]}] | {l["compute_seconds"]} | {l["floor_seconds"]} | {l["seconds"]} | {l["edges_per_sec_per_superstep"]:,} |
 
-**compute speedup {s["cores"]}→{l["cores"]} cores: {r["speedup"]}× — scaling
-efficiency {r["scaling_efficiency"]} (summed-superstep region); superstep-floor
-speedup {r["floor_speedup"]}× — efficiency {r["floor_scaling_efficiency"]}
-(target ≥ 0.8).**
+**HEADLINE: compute speedup {s["cores"]}→{l["cores"]} cores: {r["speedup"]}× —
+scaling efficiency {r["scaling_efficiency"]} (summed-superstep region,
+min-of-{TRIALS}-interleaved-trials; target ≥ 0.8).** Supplementary
+lower-bound estimate: superstep-floor speedup {r["floor_speedup"]}× —
+efficiency {r["floor_scaling_efficiency"]}.
 
-Two estimators, one protocol: ``compute`` is the min over trials of the
-summed per-superstep walls; ``floor`` is k0 × the min single-superstep
-wall across all trials — min-of-trials applied at superstep granularity
-(each superstep runs the identical plan over identical data, so every
-superstep IS a trial of the same computation; the floor is each level's
-quiet-machine steady state, the quantity timer_op.c's min approximates).
-Ambient co-tenant noise inflates sums far more than floors. A
-20-superstep profile at local[8] on this input confirms the floor is the
-RECURRING steady state, not an outlier: walls decay 38→15 s/superstep
-(JIT + page-cache warmup) with sporadic spikes and NO upward drift (no
-state accumulation across supersteps); the floor recurs in supersteps
-11-16. The one-time
-DISTRIBUTE_DATA setup is excluded from both, exactly as the reference's
-timer starts after data distribution (timer_op.c); total walls are
-reported for transparency.
+Per-trial compute seconds (interleaved order):
+local[{s["cores"]}] {s["compute_seconds_all"]} / local[{l["cores"]}] {l["compute_seconds_all"]}.
+
+Two estimators, one protocol — and the HEADLINE is the standard one:
+``compute`` is the min over trials of the summed per-superstep walls (the
+region the reference times). ``floor`` is k0 × the min single-superstep
+wall across all trials — min-of-trials at superstep granularity; each
+superstep runs the identical plan over identical data, so the floor is a
+defensible lower bound on a level's steady state (a 20-superstep profile
+at local[8] confirms it is the RECURRING steady state: walls decay with
+JIT/page-cache warmup, spike sporadically under co-tenant load, and never
+drift upward). It is reported as supplementary evidence only, never as
+the target-meeting number (round-3 ADVICE: an estimator that discards
+noise asymmetrically must not become the headline in the same breath as
+the standard estimator misses the bar). The one-time DISTRIBUTE_DATA
+setup is excluded from both, exactly as the reference's timer starts
+after data distribution (timer_op.c); total walls are reported for
+transparency.
 
 ## Measurement ledger (same protocol, different days/machine states)
 
@@ -203,7 +230,8 @@ reported for transparency.
 | round 2 | 2→8 | 8M conv / 28.8M edges | **0.87** | quiet machine, min-of-2 |
 | round 3a | 2→8 | 8M conv / 28.8M edges | 0.746 | ambient load (load-avg ≈ 4 co-tenant) |
 | round 3b | 2→8 | 8M conv / 28.8M edges | 0.699 | local[2] fastest-ever (218.7s) + local[8] +12% — co-tenant skew |
-| round 3c (this file's tables) | {s["cores"]}→{l["cores"]} | {s["n_conv"] // 1000000}M conv / {s["edges"] / 1e6:.1f}M edges | {r["scaling_efficiency"]} (floor {r["floor_scaling_efficiency"]}) | floor estimator + larger graph |
+| round 3c | 2→8 | 16M conv / 57.7M edges | 0.737 (floor 0.837) | floor estimator + larger graph; un-interleaved |
+| round 4 (this file's tables) | {s["cores"]}→{l["cores"]} | {s["n_conv"] // 1000000}M conv / {s["edges"] / 1e6:.1f}M edges | {r["scaling_efficiency"]} (floor {r["floor_scaling_efficiency"]}) | min-of-{TRIALS} interleaved fresh-JVM trials |
 
 Fitting t(c) = T_par/c + F to the round-3 8M-edge pairs gives a
 non-scaling per-superstep floor F ≈ 1.2-3.1 s/superstep (scheduling +
