@@ -39,13 +39,16 @@ def main(argv=None) -> int:
         import json
 
         emb = spark.read.parquet(args.embeddings) if args.embeddings else None
-        survivors, stats = dedup.dedup_cascade(docs, embeddings=emb)
+        caps: dict = {}
+        survivors, stats = dedup.dedup_cascade(docs, embeddings=emb, counters=caps)
         survivors.write.mode("overwrite").parquet(args.output)
         with open(os.path.join(os.path.dirname(args.output) or ".",
                                os.path.basename(args.output) + ".stats.json"), "w") as f:
-            json.dump(stats, f, indent=2)
+            json.dump({"stages": stats, "skew_caps_fired": caps}, f, indent=2)
         for s in stats:
             print(f"{s['stage']:12s} removed {s['removed']:>8d}  survivors {s['survivors']:>8d}")
+        if caps:
+            print(f"skew caps fired: {caps}")
         return 0
     if args.method == "exact":
         out = dedup.exact_dedup(docs)

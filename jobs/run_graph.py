@@ -33,6 +33,9 @@ def main(argv=None) -> int:
         help="LPA rounds (default 10) / CC max-rounds cap (default 200) — "
         "used as given, raising OR lowering the per-algo default",
     )
+    ap.add_argument("--until-stable", action="store_true",
+                    help="lpa: stop early when a round changes no label "
+                    "(--rounds stays the oscillation cap)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--checkpoint", default=None, help="checkpoint root (cc/lpa resume)")
     ap.add_argument("--run-id", default="run-0")
@@ -68,6 +71,7 @@ def main(argv=None) -> int:
         out = label_propagation(
             vertices, edges,
             rounds=args.rounds if args.rounds is not None else 10,
+            until_stable=args.until_stable,
             partitions=args.partitions, checkpointer=cm,
         )
     elif args.algo == "triangles":

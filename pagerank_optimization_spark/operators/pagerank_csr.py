@@ -48,6 +48,16 @@ runs three joins and two aggregations through the JVM per superstep; at
 scale both are shuffle-bound by the frontier, and the CSR path does its
 math vectorized.
 
+Scale-mode history: with the round-≤3 ``applyInPandas`` kernel the routed
+frontier's pandas materialization dominated (measured 3.3× BEHIND
+join-agg at 1.1M vertices — at 2 FLOPs/edge the boundary cost dwarfed the
+vectorization win, BENCH/sweep.csv r3). Round 4 moved the cogroup to
+``applyInArrow`` (columns stay Arrow buffers both directions, numpy views
+on top); the same probe now measures the scale mode 1.2× AHEAD of
+join-agg (16.1s vs 19.3s compute at 1.1M vertices / 3.97M edges) and
+1.07× ahead at 4M vertices / 14.4M edges (24.6s vs 26.3s) —
+BENCH/scale_kernel_probe_*.json, interleaved min-of-3.
+
 No per-row Python anywhere (input_hint requirement): everything crossing
 the JVM↔Python boundary is an Arrow batch, everything inside is numpy.
 
@@ -106,6 +116,71 @@ STATE_SCHEMA = T.StructType(
 
 def _bucket_size(n: int, b: int, P: int) -> int:
     return (n - b + P - 1) // P if b < n else 0
+
+
+def _make_arrow_kernel(n_: int, P: int, d_: float, dm: float):
+    """Per-superstep fused kernel as a cogrouped ``applyInArrow`` function
+    (shared by BOTH frontier modes since round 4): the routed frontier's
+    columns come off the exchange as Arrow buffers and the state goes back
+    as Arrow buffers — no pandas Block materialization on either side of
+    the JVM↔Python boundary (round-3 measurement: that materialization, not
+    the shuffle, dominated the scale mode's per-superstep cost). Math is
+    numpy, identical operations and reduction order as rounds ≤3 (the
+    cross-kernel 1e-12 differential and bitwise-resume tests pin it)."""
+    import pyarrow as pa
+
+    def fused_arrow(key, blk: "pa.Table", routed_tb: "pa.Table") -> "pa.Table":
+        b = int(key[0].as_py())
+        m = _bucket_size(n_, b, P)
+        if m == 0:
+            return pa.table(
+                {
+                    "vid": pa.array([], type=pa.int64()),
+                    "pr": pa.array([], type=pa.float64()),
+                    "abs_delta": pa.array([], type=pa.float64()),
+                    "dang_pr": pa.array([], type=pa.float64()),
+                }
+            )
+        pos = routed_tb["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        pr = routed_tb["pr"].combine_chunks().to_numpy(zero_copy_only=False)
+        tag = routed_tb["tag"].combine_chunks().to_numpy(zero_copy_only=False)
+        own = tag == 0
+        old = np.zeros(m, dtype=np.float64)
+        old[pos[own]] = pr[own]
+        acc = np.zeros(m, dtype=np.float64)
+        reset_arr = None
+        if blk.num_rows > 0:
+            src_idx_buf = blk["src_idx"][0].as_py()
+            if src_idx_buf is not None:
+                src_idx = np.frombuffer(src_idx_buf, dtype=np.int64)
+                indptr = np.frombuffer(blk["indptr"][0].as_py(), dtype=np.int64)
+                dst_local = np.frombuffer(blk["dst_local"][0].as_py(), dtype=np.int64)
+                w = np.frombuffer(blk["weight"][0].as_py(), dtype=np.float64)
+                x = np.zeros(int(blk["n_src"][0].as_py()), dtype=np.float64)
+                x[pos[~own]] = pr[~own]
+                contrib = w * x[src_idx]                   # gather+mul
+                acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
+            mask = np.frombuffer(blk["dang_mask"][0].as_py(), dtype=np.uint8).astype(bool)
+            ra = blk["reset_arr"][0].as_py()
+            if ra is not None:
+                reset_arr = np.frombuffer(ra, dtype=np.float64)
+        else:  # bucket with vertices but no aux row cannot happen; guard
+            mask = np.zeros(m, dtype=bool)
+        if reset_arr is not None:
+            base = ((1.0 - d_) + d_ * dm) * reset_arr
+        else:
+            base = (1.0 - d_) / n_ + d_ * dm / n_
+        new = base + d_ * acc
+        return pa.table(
+            {
+                "vid": pa.array(b + P * np.arange(m, dtype=np.int64)),
+                "pr": pa.array(new),
+                "abs_delta": pa.array(np.abs(new - old)),
+                "dang_pr": pa.array(np.where(mask, new, 0.0)),
+            }
+        )
+
+    return fused_arrow
 
 
 def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
@@ -302,53 +377,7 @@ def _iterate_csr_fused(
     with iterative_conf(spark):
         for it in range(start_iter, k):
             t0 = time.monotonic()
-            dm, d_, n_ = float(dangling_mass), float(damping), int(n)
-
-            def fused(key, blk: pd.DataFrame, routed: pd.DataFrame) -> pd.DataFrame:
-                b = int(key[0])
-                m = _bucket_size(n_, b, P)
-                if m == 0:
-                    return pd.DataFrame(
-                        {c: pd.Series(dtype=t) for c, t in
-                         [("vid", "int64"), ("pr", "float64"),
-                          ("abs_delta", "float64"), ("dang_pr", "float64")]}
-                    )
-                pos = routed["pos"].to_numpy(dtype=np.int64)
-                pr = routed["pr"].to_numpy(dtype=np.float64)
-                own = routed["tag"].to_numpy(dtype=np.int8) == 0
-                old = np.zeros(m, dtype=np.float64)
-                old[pos[own]] = pr[own]
-                acc = np.zeros(m, dtype=np.float64)
-                reset_arr = None
-                if not blk.empty:
-                    row = blk.iloc[0]
-                    if row["src_idx"] is not None:
-                        src_idx = np.frombuffer(row["src_idx"], dtype=np.int64)
-                        indptr = np.frombuffer(row["indptr"], dtype=np.int64)
-                        dst_local = np.frombuffer(row["dst_local"], dtype=np.int64)
-                        w = np.frombuffer(row["weight"], dtype=np.float64)
-                        x = np.zeros(int(row["n_src"]), dtype=np.float64)
-                        x[pos[~own]] = pr[~own]
-                        contrib = w * x[src_idx]                   # gather+mul
-                        acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
-                    mask = np.frombuffer(row["dang_mask"], dtype=np.uint8).astype(bool)
-                    if row["reset_arr"] is not None:
-                        reset_arr = np.frombuffer(row["reset_arr"], dtype=np.float64)
-                else:  # bucket with vertices but no aux row cannot happen; guard
-                    mask = np.zeros(m, dtype=bool)
-                if reset_arr is not None:
-                    base = ((1.0 - d_) + d_ * dm) * reset_arr
-                else:
-                    base = (1.0 - d_) / n_ + d_ * dm / n_
-                new = base + d_ * acc
-                return pd.DataFrame(
-                    {
-                        "vid": b + P * np.arange(m, dtype=np.int64),
-                        "pr": new,
-                        "abs_delta": np.abs(new - old),
-                        "dang_pr": np.where(mask, new, 0.0),
-                    }
-                )
+            fused_arrow = _make_arrow_kernel(int(n), P, float(damping), float(dangling_mass))
 
             if broadcast_frontier:
                 # LocalRelation broadcast (driver-held frontier, no collect
@@ -359,7 +388,7 @@ def _iterate_csr_fused(
                 state = (
                     blocks_aux.groupBy("bucket")
                     .cogroup(routed.select("bucket", "pos", "pr", "tag").groupBy("bucket"))
-                    .applyInPandas(fused, schema=STATE_SCHEMA)
+                    .applyInArrow(fused_arrow, schema=STATE_SCHEMA)
                 )
                 pdf = state.toPandas().sort_values(
                     "vid", kind="mergesort", ignore_index=True
@@ -368,65 +397,6 @@ def _iterate_csr_fused(
                 next_dm = float(pdf["dang_pr"].to_numpy().sum())
                 ranks_pdf = pdf[["vid", "pr"]]
             else:
-                import pyarrow as pa
-
-                def fused_arrow(key, blk: "pa.Table", routed_tb: "pa.Table") -> "pa.Table":
-                    """Arrow-native fused superstep (scale mode): columns
-                    come straight off the shuffle as Arrow buffers and go
-                    back as Arrow buffers — no pandas Block materialization
-                    on either side of the boundary (measured in round 3 as
-                    the scale mode's dominant per-superstep cost). Math is
-                    numpy, identical ops/order to the pandas kernel."""
-                    b = int(key[0].as_py())
-                    m = _bucket_size(n_, b, P)
-                    if m == 0:
-                        return pa.table(
-                            {
-                                "vid": pa.array([], type=pa.int64()),
-                                "pr": pa.array([], type=pa.float64()),
-                                "abs_delta": pa.array([], type=pa.float64()),
-                                "dang_pr": pa.array([], type=pa.float64()),
-                            }
-                        )
-                    pos = routed_tb["pos"].combine_chunks().to_numpy(zero_copy_only=False)
-                    pr = routed_tb["pr"].combine_chunks().to_numpy(zero_copy_only=False)
-                    tag = routed_tb["tag"].combine_chunks().to_numpy(zero_copy_only=False)
-                    own = tag == 0
-                    old = np.zeros(m, dtype=np.float64)
-                    old[pos[own]] = pr[own]
-                    acc = np.zeros(m, dtype=np.float64)
-                    reset_arr = None
-                    if blk.num_rows > 0:
-                        src_idx_buf = blk["src_idx"][0].as_py()
-                        if src_idx_buf is not None:
-                            src_idx = np.frombuffer(src_idx_buf, dtype=np.int64)
-                            indptr = np.frombuffer(blk["indptr"][0].as_py(), dtype=np.int64)
-                            dst_local = np.frombuffer(blk["dst_local"][0].as_py(), dtype=np.int64)
-                            w = np.frombuffer(blk["weight"][0].as_py(), dtype=np.float64)
-                            x = np.zeros(int(blk["n_src"][0].as_py()), dtype=np.float64)
-                            x[pos[~own]] = pr[~own]
-                            contrib = w * x[src_idx]                   # gather+mul
-                            acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
-                        mask = np.frombuffer(blk["dang_mask"][0].as_py(), dtype=np.uint8).astype(bool)
-                        ra = blk["reset_arr"][0].as_py()
-                        if ra is not None:
-                            reset_arr = np.frombuffer(ra, dtype=np.float64)
-                    else:
-                        mask = np.zeros(m, dtype=bool)
-                    if reset_arr is not None:
-                        base = ((1.0 - d_) + d_ * dm) * reset_arr
-                    else:
-                        base = (1.0 - d_) / n_ + d_ * dm / n_
-                    new = base + d_ * acc
-                    return pa.table(
-                        {
-                            "vid": pa.array(b + P * np.arange(m, dtype=np.int64)),
-                            "pr": pa.array(new),
-                            "abs_delta": pa.array(np.abs(new - old)),
-                            "dang_pr": pa.array(np.where(mask, new, 0.0)),
-                        }
-                    )
-
                 routed = routes.hint("merge").join(ranks, "vid")
                 state = (
                     blocks_aux.groupBy("bucket")
@@ -575,8 +545,14 @@ def _compile(
     routes = build_routes(
         vid_edges, vids, partitions, partitions, bucket_layout=broadcast_frontier
     ).persist()
-    # no forcing counts: superstep 1 materializes the caches — same work,
-    # two fewer driver round-trips in the critical setup path
+    # force the compiled layout NOW: DISTRIBUTE_DATA belongs to setup, not
+    # to the first timed superstep (the reference's timer starts after
+    # distribution, timer_op.c; join-agg's setup likewise materializes its
+    # co-partitioned cache via its nnz count). Deferring this put 10-15s of
+    # one-time compile inside superstep 0's wall at 4M vertices — same
+    # total work, asymmetric attribution between kernels.
+    blocks_aux.count()
+    routes.count()
 
     def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids)):
         # ids is localCheckpointed, not persisted: its blocks are freed by

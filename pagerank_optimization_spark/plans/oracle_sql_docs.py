@@ -393,9 +393,15 @@ def docs_dedup_cascade_sql(
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
-    cc_ctes = []
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round TWICE (l and l2), so plain CTEs inline exponentially — 2^24
+    # plan copies wedge DuckDB at ~100 GB (observed). Materialized, the
+    # unroll is cc_rounds tiny scans over the pair graph.
+    cc_ctes = [f"""lbl0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs)
+)"""]
     for r in range(1, cc_rounds + 1):
-        cc_ctes.append(f"""lbl{r} AS (
+        cc_ctes.append(f"""lbl{r} AS MATERIALIZED (
   SELECT l.v, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
   FROM lbl{r - 1} l
   LEFT JOIN sym e ON e.x = l.v
@@ -450,9 +456,6 @@ pairs AS MATERIALIZED (
 ),
 sym AS MATERIALIZED (
   SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
-),
-lbl0 AS (
-  SELECT v, v AS lbl FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs)
 ),
 {cc_sql},
 losers AS (SELECT v FROM lbl{cc_rounds} WHERE lbl <> v),

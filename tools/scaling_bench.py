@@ -86,6 +86,14 @@ def run_one(cores: int, in_dir: str) -> None:
     edges = spark.read.parquet(f"{in_dir}/edges.parquet").persist()
     n_v, n_e = vertices.count(), edges.count()
     n_conv = json.load(open(f"{in_dir}/meta.json"))["n_conv"]
+    # unmeasured warm-up (2 supersteps): whole-stage-codegen JIT + shuffle
+    # machinery warm BEFORE the timed pass — a fresh-JVM trial otherwise
+    # pays one-time JIT inside superstep 0 of the measured region, a
+    # constant that biases the cross-level ratio toward 1 (observed: 100-220s
+    # first supersteps vs a 15-45s steady state). The reference's protocol
+    # measures repeated trials in ONE process for the same reason
+    # (timer_op.c:52-61); bench.py warms up identically.
+    pagerank(vertices, edges, fixed_iters=2, partitions=parts)
     t0 = time.monotonic()
     res = pagerank(vertices, edges, fixed_iters=K0, partitions=parts)
     dt = time.monotonic() - t0
