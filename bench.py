@@ -430,8 +430,10 @@ def main() -> None:
             "every timed CSR trial starts with a COLD compiled-layout cache "
             "(clear_compile_cache), so walls include full per-call setup for "
             "both kernels; the *_compute extras exclude setup for both "
-            "(steady-state per-superstep region, the reference's timed region). "
-            "Round <=2 CSR walls were warm-cache — not comparable."
+            "(steady-state per-superstep region, the reference's timed region; "
+            "since r4 the CSR layout compile is forced at setup, so superstep 0 "
+            "no longer carries lazy DISTRIBUTE_DATA — r3 csr *_compute figures "
+            "included it). Round <=2 CSR walls were warm-cache — not comparable."
         ),
         **extra,
     }

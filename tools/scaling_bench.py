@@ -239,7 +239,8 @@ transparency.
 | round 3a | 2→8 | 8M conv / 28.8M edges | 0.746 | ambient load (load-avg ≈ 4 co-tenant) |
 | round 3b | 2→8 | 8M conv / 28.8M edges | 0.699 | local[2] fastest-ever (218.7s) + local[8] +12% — co-tenant skew |
 | round 3c | 2→8 | 16M conv / 57.7M edges | 0.737 (floor 0.837) | floor estimator + larger graph; un-interleaved |
-| round 4 (this file's tables) | {s["cores"]}→{l["cores"]} | {s["n_conv"] // 1000000}M conv / {s["edges"] / 1e6:.1f}M edges | {r["scaling_efficiency"]} (floor {r["floor_scaling_efficiency"]}) | min-of-{TRIALS} interleaved fresh-JVM trials |
+| round 4a | 2→8 | 16M conv / 57.7M edges | 0.769 (floor 0.782) | first interleaved fresh-JVM run; protocol gap found — each fresh JVM paid cold whole-stage-codegen JIT inside superstep 0 (100-220s first supersteps), a near-constant that biases the ratio toward 1; warmup added |
+| round 4b (this file's tables) | {s["cores"]}→{l["cores"]} | {s["n_conv"] // 1000000}M conv / {s["edges"] / 1e6:.1f}M edges | {r["scaling_efficiency"]} (floor {r["floor_scaling_efficiency"]}) | min-of-{TRIALS} interleaved fresh-JVM trials, 2-superstep warmup per JVM |
 
 Fitting t(c) = T_par/c + F to the round-3 8M-edge pairs gives a
 non-scaling per-superstep floor F ≈ 1.2-3.1 s/superstep (scheduling +
