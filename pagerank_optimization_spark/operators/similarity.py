@@ -219,7 +219,16 @@ def ivf_train(
 
 def _assign_centroid(uni: DataFrame, cents) -> DataFrame:
     """Adds cid = argmin centroid (max dot on unit vectors) via a literal
-    array of centroid structs — pure codegen'd expressions."""
+    array of centroid structs — pure codegen'd expressions.
+
+    Known perf ceiling (measured r4, BENCH/bench_r4_local.json): the
+    k×dim literal expression tree is re-analyzed per action — at k=8,
+    dim=64 the sf0.1 ivf_topk spends ~50s on 2000 vectors, all
+    plan-side, none data-side. The data-sized alternative (posexplode +
+    join against a centroid DataFrame + groupBy argmax) keeps the plan
+    O(1) in k·dim; switch when the quantizer grows past toy k·dim — the
+    literal form is kept for now because the DuckDB twin reproduces it
+    verbatim (emb_ivf_topk hash-parity)."""
     scored = F.array(
         *[
             F.struct(
