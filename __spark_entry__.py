@@ -234,13 +234,50 @@ def _q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+def _q_docs_dedup_survivors_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THREE-TIER cascade (exact → portable-MinHash-LSH → semantic
+    cosine near-dup over the embeddings table, vec_id ≡ doc_id) —
+    oracle-checked end to end. semantic_exact=True: the oracle needs the
+    SQL-expressible all-pairs cosine form (production default is the
+    LSH-bucketed sub-quadratic path, pytest-covered for recall); the
+    0.42 threshold is calibrated to this corpus's cosine range (max
+    pairwise cosine ≈ 0.51 at sf0.01) so the stage genuinely fires."""
+    from pagerank_optimization_spark.operators.dedup import dedup_cascade
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    survivors, _stats = dedup_cascade(
+        docs, embeddings=emb, hasher="portable",
+        semantic_threshold=0.42, semantic_exact=True,
+    )
+    return survivors.select("doc_id")
+
+
+def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs over the embeddings table, exact=True (the
+    oracle-checkable all-pairs baseline of embedding_neardup_pairs; the
+    LSH-bucketed production path is recall-tested against this in pytest).
+    τ=0.4 is calibrated to this corpus's cosine range (max pairwise ≈ 0.51
+    at sf0.01) so the output is nonempty."""
+    from pagerank_optimization_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.4, exact=True)
+
+
 def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # min-id seeding + zero Lloyd rounds: the quantizer is then fully
-    # SQL-expressible, so even the ANN path gets a value-hash oracle
-    return ivf_topk(emb, EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3, iters=0, init="min_id")
+    # SQL-expressible, so even the ANN path gets a value-hash oracle.
+    # assign_plan="literal": the DuckDB twin reproduces the literal dot
+    # products' fold order verbatim; production calls default to the
+    # data-sized join plan (similarity._assign_centroid).
+    return ivf_topk(
+        emb, EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3, iters=0,
+        init="min_id", assign_plan="literal",
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_lang_quality": _q_docs_lang_quality,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
+        "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
+        "emb_neardup_pairs": _q_emb_neardup_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
         # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
@@ -326,6 +365,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_survivors": osql_docs.docs_dedup_cascade_sql(
             num_perm=64, bands=16, k=3, threshold=0.5, max_bucket_size=500
         ),
+        "docs_dedup_survivors_semantic": osql_docs.docs_dedup_cascade_semantic_sql(
+            num_perm=64, bands=16, k=3, threshold=0.5, max_bucket_size=500,
+            semantic_threshold=0.42,
+        ),
         "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
+        "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

@@ -288,6 +288,79 @@ def main() -> None:
         pipe["ivf_vecs_per_sec"] = round(n_emb / queries["pipe_ivf_topk"])
 
         docs.unpersist(), emb.unpersist(), events.unpersist()
+
+        # --- corpus-size sweep (r4 VERDICT #3): the 100 TB claim for the
+        # dedup cascade is that throughput GROWS with corpus size (fixed
+        # job overhead amortizes) and the skew caps actually fire. The
+        # synthesized corpus plants a mega near-dup family (bucket cap), a
+        # boilerplate prefix (shingle-frequency cap), exact-dup groups and
+        # near-dup families (per-stage removals) — sources.documents.
+        # Walls are min-of-oneshot_trials but recorded ONLY here (not in
+        # ``queries``), so the headline `value` stays suite-comparable
+        # with BENCH_r04 (the r5 drift re-check needs that).
+        from pagerank_optimization_spark.operators.dedup import ngram_jaccard_pairs as _ng
+        from pagerank_optimization_spark.sources.documents import synthesize_documents
+
+        sweep_sizes = [
+            int(s) for s in os.environ.get("BENCH_PIPE_SIZES", "5000,50000,250000").split(",")
+        ]
+        cascade_sweep = []
+        for n_sz in sweep_sizes:
+            sdocs = synthesize_documents(spark, n_sz, seed=42).persist()
+            sdocs.count()
+            sw_caps: dict[str, int] = {}
+            best, result = None, None
+            for t in range(oneshot_trials):
+                sw_caps.clear()
+                t0 = time.monotonic()
+                surv, st = dedup_cascade(sdocs, counters=sw_caps)
+                n_sv = surv.count()
+                surv.unpersist()
+                dt = time.monotonic() - t0
+                log(f"pipe_cascade_synth_{n_sz} trial {t}: {dt:.2f}s")
+                if best is None or dt < best:
+                    best, result = dt, (n_sv, st)
+            cascade_sweep.append(
+                {
+                    "n_docs": n_sz,
+                    "wall_s_min": round(best, 3),
+                    "docs_per_sec": round(n_sz / best),
+                    "survivors": result[0],
+                    "stages": result[1],
+                    "skew_caps_fired": dict(sw_caps),
+                }
+            )
+            log(f"pipe_cascade_synth_{n_sz}: min {best:.2f}s "
+                f"({round(n_sz / best)} docs/sec, caps {sw_caps})")
+            sdocs.unpersist()
+        pipe["cascade_corpus_sweep"] = cascade_sweep
+
+        # n-gram shingle-frequency cap observed firing (boilerplate df ≈
+        # 0.46·n ≫ 1000) on the smallest synthetic corpus — the exact-
+        # Jaccard operator is O(Σ f²) by design, so it stays off the
+        # larger sweep sizes (MinHash is the scale path)
+        sdocs = synthesize_documents(spark, sweep_sizes[0], seed=42).persist()
+        sdocs.count()
+        ng_syn_caps: dict[str, int] = {}
+
+        def _ng_syn():
+            ng_syn_caps.clear()
+            return _ng(sdocs, k=3, threshold=0.8, counters=ng_syn_caps).count()
+
+        best = None
+        for t in range(oneshot_trials):
+            t0 = time.monotonic()
+            n_pairs_syn = _ng_syn()
+            dt = time.monotonic() - t0
+            log(f"pipe_ngram_synth trial {t}: {dt:.2f}s")
+            best = dt if best is None or dt < best else best
+        pipe["ngram_jaccard_synth"] = {
+            "n_docs": sweep_sizes[0],
+            "wall_s_min": round(best, 3),
+            "pairs_emitted": n_pairs_syn,
+            "skew_caps_fired": dict(ng_syn_caps),
+        }
+        sdocs.unpersist()
         extra["pipeline"] = pipe
 
     # --- size sweep (S10 plot-sink analog) -----------------------------------

@@ -56,7 +56,7 @@ def prepare_gather(sym: DataFrame, partitions: int, hub_split):
     per-task input is bounded by ~thr rows per key at ANY scale, and the
     replication volume is Σ n_salts ≈ |E|/thr.
 
-    → (gather_fn, persisted sym frame to unpersist after the loop)."""
+    → (gather_fn, [persisted frames to unpersist after the loop])."""
     from pagerank_optimization_spark.plans.partitioning import (
         auto_hub_split_degree,
         salted_unique_side,
@@ -72,6 +72,13 @@ def prepare_gather(sym: DataFrame, partitions: int, hub_split):
         salted, hubs = with_key_degree_salt(sym, key="b", hash_col="a", max_deg=thr)
         salted = salted.repartition(partitions, "b", "ssalt").persist()
         salted.count()
+        # pin hubs (tiny by construction: ≤ |sym|/thr rows) BEFORE dropping
+        # sym's cache — otherwise every round's gather re-derives it from
+        # raw lineage (symmetrize union+distinct + groupBy over |E|) just
+        # to broadcast a handful of rows (r4 ADVICE; the PageRank path
+        # persists its hub table the same way, pagerank.py)
+        hubs = hubs.persist()
+        hubs.count()
         sym.unpersist()
 
         def gather(attr_b: DataFrame) -> DataFrame:
@@ -79,12 +86,12 @@ def prepare_gather(sym: DataFrame, partitions: int, hub_split):
                 "ssalt"
             )
 
-        return gather, salted
+        return gather, [salted, hubs]
 
     def gather(attr_b: DataFrame) -> DataFrame:
         return sym.join(attr_b, "b", "inner")
 
-    return gather, sym
+    return gather, [sym]
 
 
 def _step(labels: DataFrame, gather) -> DataFrame:
@@ -166,11 +173,16 @@ def connected_components(
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
-    gather, sym = prepare_gather(sym, partitions, hub_split)
+    gather, pinned = prepare_gather(sym, partitions, hub_split)
     # pigeonhole gate: with |V| ≤ the salt bound no label CAN exceed it, so
-    # the per-round hot-label detection would be pure overhead — skip it
-    # (one count job at setup buys zero extra stages every round)
-    if shortcut_salt_members is not None and vertices.count() <= shortcut_salt_members:
+    # the per-round hot-label detection would be pure overhead — skip it.
+    # Bounded CollectLimit probe, not a full |V| count (r4 ADVICE — same
+    # probe shape as pagerank.resolve_auto_kernel): scanning bound+1 rows
+    # answers "are there more than bound vertices" without a full-table job
+    if (
+        shortcut_salt_members is not None
+        and vertices.limit(shortcut_salt_members + 1).count() <= shortcut_salt_members
+    ):
         shortcut_salt_members = None
 
     start_round = 0
@@ -227,5 +239,6 @@ def connected_components(
                          "wall_ms": (time.monotonic() - t0) * 1000.0,
                          "n_partitions": partitions},
                     )
-    sym.unpersist()
+    for df in pinned:
+        df.unpersist()
     return labels.withColumnRenamed("lbl", "component")

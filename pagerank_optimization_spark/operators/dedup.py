@@ -347,19 +347,24 @@ def _collapse_pair_families(survivors: DataFrame, pairs: DataFrame, id_col: str)
     transitivity exactly. Only docs that appear in a pair enter the CC run
     — isolated docs survive without touching the loop.
 
-    Id domain: integral ids are zero-padded to 20-char strings (long max is
-    19 digits) so lexicographic min == numeric min for the non-negative ids
-    every corpus uses; string ids run as-is (representative = lexicographic
-    min). Losers NEVER leave the string key domain — survivors anti-join on
-    the same key expression, so no cast round-trip can silently null out
-    the join (a long→string→long trip drops non-numeric ids). Other id
-    types raise."""
+    Id domain: integral ids are offset into the unsigned range (x + 2⁶³ as
+    decimal(20,0) — exact, overflow-free) and zero-padded to 20 chars, so
+    lexicographic min == numeric min over the ENTIRE long range including
+    negatives (r4 ADVICE: plain lpad sorts '-' below '0', silently picking
+    a non-min representative for negative ids); string ids run as-is
+    (representative = lexicographic min). Losers NEVER leave the string
+    key domain — survivors anti-join on the same key expression, so no
+    cast round-trip can silently null out the join (a long→string→long
+    trip drops non-numeric ids). Other id types raise."""
     from pyspark.sql import types as T
     from pagerank_optimization_spark.operators.components import connected_components
 
     id_type = next(f.dataType for f in survivors.schema.fields if f.name == id_col)
     if isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        key = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+        offset = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63
+        key = lambda c: F.lpad(  # noqa: E731
+            (F.col(c).cast("decimal(20,0)") + offset).cast("string"), 20, "0"
+        )
     elif isinstance(id_type, T.StringType):
         key = lambda c: F.col(c)  # noqa: E731
     else:
@@ -395,6 +400,7 @@ def dedup_cascade(
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
     hasher: str = "xxhash64",
+    semantic_exact: bool = False,
     counters: dict | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """The standard training-corpus dedup ladder as ONE job: exact →
@@ -416,7 +422,12 @@ def dedup_cascade(
     ``counters``: optional dict, forwarded to the MinHash-LSH stage to
     record its bucket-cap fire counts (bench-only; costs one extra job)."""
     stats: list[dict] = []
-    survivors = documents.persist()
+    # persist the input only if the caller hasn't — and only unpersist
+    # frames THIS function pinned (r4 ADVICE: the cascade used to unpersist
+    # the caller's cached docs frame, silently dropping the bench's cache
+    # for every subsequent pipe_* trial)
+    owned = not documents.is_cached
+    survivors = documents.persist() if owned else documents
     n = survivors.count()
 
     ed = exact_dedup(survivors, id_col=id_col, text_col=text_col)
@@ -424,7 +435,9 @@ def dedup_cascade(
     nxt = survivors.join(keep, id_col, "left_semi").persist()
     n1 = nxt.count()
     stats.append({"stage": "exact", "input": n, "removed": n - n1, "survivors": n1})
-    survivors.unpersist()
+    if owned:
+        survivors.unpersist()
+    owned = True
     survivors, n = nxt, n1
 
     mh_pairs = minhash_lsh_pairs(
@@ -445,8 +458,12 @@ def dedup_cascade(
         emb_surv = embeddings.join(
             survivors.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
         )
+        # semantic_exact=True runs the all-pairs cosine baseline instead of
+        # the LSH-bucketed candidates — the SQL-expressible form the oracle
+        # twin reproduces (production default stays sub-quadratic LSH)
         sem_pairs = embedding_neardup_pairs(
-            emb_surv, threshold=semantic_threshold, id_col=emb_id_col, vec_col=vec_col
+            emb_surv, threshold=semantic_threshold, id_col=emb_id_col,
+            vec_col=vec_col, exact=semantic_exact,
         )
         nxt = _collapse_pair_families(survivors, sem_pairs, id_col).persist()
         n1 = nxt.count()

@@ -50,7 +50,7 @@ def label_propagation(
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
-    gather, sym = prepare_gather(sym, partitions, hub_split)
+    gather, pinned = prepare_gather(sym, partitions, hub_split)
 
     start_round = 0
     labels = None
@@ -106,5 +106,6 @@ def label_propagation(
                 checkpointer.save(it, labels, row)
             if until_stable and changed == 0:
                 break
-    sym.unpersist()
+    for df in pinned:
+        df.unpersist()
     return labels

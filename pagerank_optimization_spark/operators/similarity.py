@@ -162,12 +162,14 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
+    assign_plan: str = "join",
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: k-means over unit vectors with
     deterministic initialization (no RNG state) and ``iters`` Lloyd rounds —
-    each round one broadcast-join + groupBy (assignment is a literal-array
-    argmin, means are per-dimension aggregates). Centroids are tiny and
-    live on the driver, like the rank-loop scalars.
+    each round one broadcast-join + groupBy (assignment is the data-sized
+    join-argmax plan by default, see _assign_centroid; means are
+    per-dimension aggregates). Centroids are tiny and live on the driver,
+    like the rank-loop scalars.
 
     ``init``: "hash" (smallest xxhash64(id) — spread seeds) or "min_id"
     (smallest ids — the SQL-reproducible choice; with iters=0 the whole
@@ -186,7 +188,7 @@ def ivf_train(
     )
     cents = np.array([r.unit for r in seeds], dtype=np.float64)
     for _ in range(iters):
-        assigned = _assign_centroid(uni, cents).select("cid", "unit")
+        assigned = _assign_centroid(uni, cents, id_col=id_col, plan=assign_plan).select("cid", "unit")
         # per-dimension sums via posexplode + groupBy(cid, pos): the plan is
         # O(1) expressions regardless of embedding dim (the previous
         # dim-many F.sum(unit[i]) columns were a 768-4096-expression
@@ -217,32 +219,60 @@ def ivf_train(
     return cents.tolist()
 
 
-def _assign_centroid(uni: DataFrame, cents) -> DataFrame:
-    """Adds cid = argmin centroid (max dot on unit vectors) via a literal
-    array of centroid structs — pure codegen'd expressions.
+def _assign_centroid(uni: DataFrame, cents, *, id_col: str | None = None, plan: str = "join") -> DataFrame:
+    """Adds cid = nearest centroid (argmax dot on unit vectors; ties → min
+    cid). Two physical plans, identical semantics:
 
-    Known perf ceiling (measured r4, BENCH/bench_r4_local.json): the
-    k×dim literal expression tree is re-analyzed per action — at k=8,
-    dim=64 the sf0.1 ivf_topk spends ~50s on 2000 vectors, all
-    plan-side, none data-side. The data-sized alternative (posexplode +
-    join against a centroid DataFrame + groupBy argmax) keeps the plan
-    O(1) in k·dim; switch when the quantizer grows past toy k·dim — the
-    literal form is kept for now because the DuckDB twin reproduces it
-    verbatim (emb_ivf_topk hash-parity)."""
-    scored = F.array(
-        *[
-            F.struct(
-                _dot(F.col("unit"), F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-                F.lit(ci).alias("cid"),
-            )
-            for ci, c in enumerate(cents)
-        ]
+    - ``plan="join"`` (production default) — DATA-SIZED: posexplode the
+      unit vectors, broadcast-join a (cid, pos, cval) centroid DataFrame
+      on pos, partial-aggregate per-(id, cid) dot products, then a
+      struct-min argmax per id, joined back onto ``uni``. The logical plan
+      is O(1) in k·dim (measured r4: the literal form spent ~50s of pure
+      Catalyst re-analysis on 2000 vectors at k=8, dim=64 — a
+      scale-killer at real embedding widths). Shuffle volume is n·k rows
+      (the n·dim·k exploded intermediate partial-aggregates map-side
+      before the exchange); the centroid table stays broadcast-sized for
+      any IVF nlist ≈ √n regime.
+    - ``plan="literal"`` — a k×dim literal expression tree, kept ONLY for
+      the iters=0 min_id oracle query whose DuckDB twin reproduces the
+      fold-order of the literal dot products verbatim
+      (plans.oracle_sql_docs.emb_ivf_topk_sql). Requires no id column.
+    """
+    if plan == "literal":
+        scored = F.array(
+            *[
+                F.struct(
+                    _dot(F.col("unit"), F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        best_sim = F.array_max(F.transform(scored, lambda s: s["sim"]))
+        cid = F.array_min(
+            F.transform(F.filter(scored, lambda s: s["sim"] == best_sim), lambda s: s["cid"])
+        )
+        return uni.withColumn("cid", cid)
+    if plan != "join":
+        raise ValueError(f"unknown assignment plan {plan!r}")
+    assert id_col is not None, "join assignment plan needs an id column to rejoin on"
+    spark = uni.sparkSession
+    crows = [(ci, pos, float(v)) for ci, c in enumerate(cents) for pos, v in enumerate(c)]
+    cdf = spark.createDataFrame(crows, "cid int, pos int, cval double")
+    sims = (
+        uni.select(F.col(id_col), F.posexplode("unit").alias("pos", "val"))
+        .join(F.broadcast(cdf), "pos")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("sim"))
     )
-    best_sim = F.array_max(F.transform(scored, lambda s: s["sim"]))
-    cid = F.array_min(
-        F.transform(F.filter(scored, lambda s: s["sim"] == best_sim), lambda s: s["cid"])
+    # argmax with min-cid tie-break as ONE struct-min agg (no window — the
+    # second agg rides the first's hash partitioning on id)
+    best = (
+        sims.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("sim")).alias("nsim"), F.col("cid").alias("cid"))).alias("_b"))
+        .select(F.col(id_col), F.col("_b.cid").alias("cid"))
     )
-    return uni.withColumn("cid", cid)
+    return uni.join(best, id_col)
 
 
 def ivf_topk(
@@ -256,16 +286,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
+    assign_plan: str = "join",
 ) -> DataFrame:
     """IVF approximate top-k: corpus inverted-listed by nearest centroid
     (computed once, reusable), queries probe their ``nprobe`` nearest
     centroids, exact cosine re-rank inside the probed lists. Same schema as
-    cosine_topk. The 100 TB path: per-query work is corpus/|C|·nprobe."""
+    cosine_topk. The 100 TB path: per-query work is corpus/|C|·nprobe.
+    ``assign_plan="literal"`` only for the oracle query (_assign_centroid)."""
     import numpy as np
 
-    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, init=init))
+    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, init=init, assign_plan=assign_plan))
     uni = with_unit_vectors(embeddings, vec_col=vec_col)
-    corpus = _assign_centroid(uni.select(F.col(id_col), "unit"), cents).select(
+    corpus = _assign_centroid(uni.select(F.col(id_col), "unit"), cents, id_col=id_col, plan=assign_plan).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"), F.col("cid").alias("ccid")
     )
     qrows = uni.filter(F.col(id_col).isin(query_ids)).select(id_col, "unit").collect()

@@ -103,6 +103,27 @@ WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= {threshold}
 """
 
 
+def emb_neardup_pairs_sql(threshold: float = 0.4) -> str:
+    """a, b, cosine — all-pairs semantic near-duplicates (mirrors
+    operators.similarity.embedding_neardup_pairs(exact=True): unit vectors
+    in double, round(dot, 8) ≥ threshold is what both engines filter on,
+    a < b)."""
+    return f"""
+WITH eu AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+eun AS MATERIALIZED (
+  SELECT vec_id, list_transform(ev, x -> x / greatest(nrm, 1e-12)) AS unit FROM eu
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_inner_product(x.unit, y.unit), 8) AS cosine
+FROM eun x JOIN eun y ON x.vec_id < y.vec_id
+WHERE round(list_inner_product(x.unit, y.unit), 8) >= {threshold}
+"""
+
+
 def emb_cosine_topk_sql(query_ids: list[int], k: int = 10) -> str:
     """query_id, neighbor_id, cosine, rank — exact brute-force cosine top-k
     (mirrors operators.similarity.cosine_topk: double math, ties broken by
@@ -354,30 +375,37 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def docs_dedup_cascade_sql(
-    num_perm: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    threshold: float = 0.5,
-    max_bucket_size: int = 500,
-    cc_rounds: int = 24,
-) -> str:
-    """doc_id of cascade survivors — mirrors operators.dedup.dedup_cascade
-    (hasher='portable', no embeddings): exact tier (min doc_id per
-    normalized-text class), then the portable-MinHash banded-LSH pairs of
-    docs_minhash_pairs_sql computed over the EXACT-TIER SURVIVORS, then
-    the duplicate families collapsed to their min doc_id via min-label
-    propagation unrolled ``cc_rounds`` rounds.
+def _cc_unroll_ctes(pairs_cte: str, sym_cte: str, lbl_prefix: str, cc_rounds: int) -> str:
+    """Unrolled min-label CC over a pair CTE — shared by the two cascade
+    twins. AS MATERIALIZED is load-bearing: each round references the
+    previous round TWICE (l and l2), so plain CTEs inline exponentially —
+    2^24 plan copies wedge DuckDB at ~100 GB (observed). Materialized, the
+    unroll is cc_rounds tiny scans over the pair graph."""
+    ctes = [f"""{lbl_prefix}0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT a AS v FROM {pairs_cte} UNION SELECT b FROM {pairs_cte})
+)"""]
+    for r in range(1, cc_rounds + 1):
+        ctes.append(f"""{lbl_prefix}{r} AS MATERIALIZED (
+  SELECT l.v, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
+  FROM {lbl_prefix}{r - 1} l
+  LEFT JOIN {sym_cte} e ON e.x = l.v
+  LEFT JOIN {lbl_prefix}{r - 1} l2 ON l2.v = e.y
+  GROUP BY l.v, l.lbl
+)""")
+    return ",\n".join(ctes)
 
-    DATA ASSUMPTION: the unroll is exact only when every duplicate
-    family's min-label propagation distance is ≤ cc_rounds (the Spark side
-    iterates to the true fixpoint). Families are near-dup chains of a
-    handful of docs, so the default 24 carries ≥2× margin over any
-    plausible family diameter at oracle scale — and the guard makes the
-    assumption self-checking: if round cc_rounds still changed any label,
-    the oracle emits a sentinel doc_id -1 row, so a too-shallow unroll
-    fails the driver compare LOUDLY (visible bogus row) instead of
-    silently disagreeing with the engine's exact fixpoint."""
+
+def _cascade_minhash_prefix(
+    num_perm: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    max_bucket_size: int,
+    cc_rounds: int,
+) -> str:
+    """WITH-clause chain ending at ``surv2`` (post exact + MinHash-LSH
+    family-collapse survivors) and ``not_conv`` (the minhash CC unroll's
+    convergence sentinel count) — the shared prefix of both cascade twins."""
     rows = num_perm // bands
     mins = ",\n         ".join(
         f"min((h*{MINHASH_A(i)} + {MINHASH_B(i)}) % {POLY_P}) AS m{i}"
@@ -393,22 +421,7 @@ def docs_dedup_cascade_sql(
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
-    # AS MATERIALIZED is load-bearing: each round references the previous
-    # round TWICE (l and l2), so plain CTEs inline exponentially — 2^24
-    # plan copies wedge DuckDB at ~100 GB (observed). Materialized, the
-    # unroll is cc_rounds tiny scans over the pair graph.
-    cc_ctes = [f"""lbl0 AS MATERIALIZED (
-  SELECT v, v AS lbl FROM (SELECT a AS v FROM pairs UNION SELECT b FROM pairs)
-)"""]
-    for r in range(1, cc_rounds + 1):
-        cc_ctes.append(f"""lbl{r} AS MATERIALIZED (
-  SELECT l.v, least(l.lbl, coalesce(min(l2.lbl), l.lbl)) AS lbl
-  FROM lbl{r - 1} l
-  LEFT JOIN sym e ON e.x = l.v
-  LEFT JOIN lbl{r - 1} l2 ON l2.v = e.y
-  GROUP BY l.v, l.lbl
-)""")
-    cc_sql = ",\n".join(cc_ctes)
+    cc_sql = _cc_unroll_ctes("pairs", "sym", "lbl", cc_rounds)
     return rf"""
 WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
 surv1 AS (
@@ -463,8 +476,94 @@ not_conv AS (
   SELECT count(*) AS c
   FROM lbl{cc_rounds} j JOIN lbl{cc_rounds - 1} p USING (v)
   WHERE j.lbl <> p.lbl
-)
-SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT v FROM losers)
+),
+surv2 AS MATERIALIZED (
+  SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT v FROM losers)
+)"""
+
+
+def docs_dedup_cascade_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+    cc_rounds: int = 24,
+) -> str:
+    """doc_id of cascade survivors — mirrors operators.dedup.dedup_cascade
+    (hasher='portable', no embeddings): exact tier (min doc_id per
+    normalized-text class), then the portable-MinHash banded-LSH pairs of
+    docs_minhash_pairs_sql computed over the EXACT-TIER SURVIVORS, then
+    the duplicate families collapsed to their min doc_id via min-label
+    propagation unrolled ``cc_rounds`` rounds.
+
+    DATA ASSUMPTION: the unroll is exact only when every duplicate
+    family's min-label propagation distance is ≤ cc_rounds (the Spark side
+    iterates to the true fixpoint). Families are near-dup chains of a
+    handful of docs, so the default 24 carries ≥2× margin over any
+    plausible family diameter at oracle scale — and the guard makes the
+    assumption self-checking: if round cc_rounds still changed any label,
+    the oracle emits a sentinel doc_id -1 row, so a too-shallow unroll
+    fails the driver compare LOUDLY (visible bogus row) instead of
+    silently disagreeing with the engine's exact fixpoint."""
+    prefix = _cascade_minhash_prefix(
+        num_perm, bands, k, threshold, max_bucket_size, cc_rounds
+    )
+    return f"""{prefix}
+SELECT doc_id FROM surv2
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS doc_id WHERE (SELECT c FROM not_conv) > 0
+"""
+
+
+def docs_dedup_cascade_semantic_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+    semantic_threshold: float = 0.42,
+    cc_rounds: int = 24,
+) -> str:
+    """doc_id of THREE-TIER cascade survivors — mirrors
+    operators.dedup.dedup_cascade(embeddings=..., semantic_exact=True,
+    hasher='portable'): the two-tier prefix above, then exact-cosine pairs
+    (round(dot of unit vectors, 8) ≥ semantic_threshold — the rounded
+    value is what both engines filter on) over the MINHASH-TIER SURVIVORS'
+    embeddings (joined on vec_id = doc_id), collapsed to min-doc_id
+    families via the same unrolled min-label CC with its own convergence
+    sentinel."""
+    prefix = _cascade_minhash_prefix(
+        num_perm, bands, k, threshold, max_bucket_size, cc_rounds
+    )
+    sem_cc = _cc_unroll_ctes("spairs", "ssym", "slbl", cc_rounds)
+    return f"""{prefix},
+eu AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings e JOIN surv2 s ON e.vec_id = s.doc_id
+),
+eun AS MATERIALIZED (
+  SELECT vec_id, list_transform(ev, x -> x / greatest(nrm, 1e-12)) AS unit FROM eu
+),
+spairs AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM eun x JOIN eun y ON x.vec_id < y.vec_id
+  WHERE round(list_inner_product(x.unit, y.unit), 8) >= {semantic_threshold}
+),
+ssym AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM spairs UNION SELECT b, a FROM spairs
+),
+{sem_cc},
+slosers AS (SELECT v FROM slbl{cc_rounds} WHERE lbl <> v),
+s_not_conv AS (
+  SELECT count(*) AS c
+  FROM slbl{cc_rounds} j JOIN slbl{cc_rounds - 1} p USING (v)
+  WHERE j.lbl <> p.lbl
+)
+SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT v FROM slosers)
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id WHERE (SELECT c FROM not_conv) > 0
+UNION ALL
+SELECT CAST(-2 AS BIGINT) AS doc_id WHERE (SELECT c FROM s_not_conv) > 0
 """

@@ -170,6 +170,47 @@ def test_collapse_families_string_ids(spark):
     assert out == ["doc-a", "doc-lonely"]
 
 
+def test_collapse_families_negative_ids(spark):
+    """Numeric-min representative must hold over the ENTIRE long range:
+    plain lpad keying sorted '-' below '0', so a negative-id family used to
+    pick the wrong (non-min) representative — e.g. {-5, -3, 2} collapsed to
+    -3 because '-3…' < '-5…' lexicographically (r4 ADVICE). The offset
+    encoding (x + 2⁶³ as decimal) makes lexicographic min ≡ numeric min."""
+    from pagerank_optimization_spark.operators.dedup import _collapse_pair_families
+
+    survivors = spark.createDataFrame([(-5,), (-3,), (2,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([(-5, -3), (-3, 2)], "a long, b long")
+    out = sorted(r.doc_id for r in _collapse_pair_families(survivors, pairs, "doc_id").collect())
+    assert out == [-5, 7]
+
+
+def test_cascade_semantic_exact_matches_lsh_recallable(spark):
+    """semantic_exact=True (the oracle-twin form) must remove at least the
+    families the LSH-bucketed default finds, and on tight families (cosine
+    = 1.0) both must agree exactly."""
+    from pagerank_optimization_spark.operators.dedup import dedup_cascade
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    texts = [(i, f"unique document number {i} " + " ".join(
+        f"w{int(x)}" for x in rng.integers(0, 9999, size=40))) for i in range(8)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    v = [float(x) for x in rng.normal(size=16)]
+    emb_rows = [(0, v), (1, list(v)), (2, list(v))] + [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(3, 8)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    s_exact, st_exact = dedup_cascade(docs, embeddings=emb, semantic_exact=True)
+    s_lsh, st_lsh = dedup_cascade(docs, embeddings=emb, semantic_exact=False)
+    ids_exact = sorted(r.doc_id for r in s_exact.select("doc_id").collect())
+    ids_lsh = sorted(r.doc_id for r in s_lsh.select("doc_id").collect())
+    # identical embeddings share every LSH bucket, so both paths collapse
+    # {0,1,2} → 0 and keep everything else
+    assert ids_exact == ids_lsh == [0, 3, 4, 5, 6, 7]
+
+
 def test_collapse_families_rejects_unsupported_id_type(spark):
     import pytest
 

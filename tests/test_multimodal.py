@@ -69,3 +69,27 @@ def test_resize_stub(media):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_with_real_codec(b"\x00", "image")
+
+
+def test_media_features_driver_query_numpy_twin(spark):
+    """Pins the media_features DRIVER QUERY values end-to-end (r4 VERDICT
+    stretch #8): the one rows-only driver query (no SQL twin — synthesized
+    binary media) gets a value check anyway — every output row of the exact
+    driver projection (media_id, kind, n_bytes, byte_mean, byte_std,
+    histogram_csv; 300 rows, seed 42) recomputed driver-side in numpy from
+    the same seeded synthesizer. Recorded as pytest-twinned in COVERAGE."""
+    import __spark_entry__ as entrymod
+
+    got = {r.media_id: r for r in entrymod.queries()["media_features"](spark, "").collect()}
+    src = synthesize_media(spark, 300, seed=42).collect()
+    assert len(got) == len(src) == 300
+    for m in src:
+        a = np.frombuffer(bytes(m.payload), dtype=np.uint8)
+        r = got[m.media_id]
+        assert r.kind == m.kind
+        assert r.n_bytes == len(a)
+        # driver query rounds to 6 dp (cross-engine float hygiene)
+        assert abs(r.byte_mean - float(a.mean())) < 5e-7
+        assert abs(r.byte_std - float(a.std())) < 5e-7
+        hist = np.histogram(a, bins=16, range=(0, 256))[0]
+        assert r.histogram_csv == ",".join(str(int(x)) for x in hist)

@@ -118,6 +118,24 @@ def test_ivf_dim512_clustered_recall(spark):
     assert np.mean(recalls) >= 0.6, f"dim-512 IVF recall too low: {recalls}"
 
 
+def test_ivf_assign_plans_agree(emb):
+    """The data-sized join-argmax assignment plan (production default,
+    plan O(1) in k·dim) must reproduce the literal expression-tree plan
+    (kept only for the DuckDB-twinned oracle query) row for row — same
+    inverted lists, same top-k, same rounded cosines. Float fold order
+    differs between the two plans, so agreement here also certifies the
+    8-dp rounding absorbs it."""
+    from pagerank_optimization_spark.operators.similarity import ivf_topk
+
+    a = sorted(map(tuple, ivf_topk(
+        emb, QUERIES, k=K, n_centroids=8, nprobe=3, iters=0, init="min_id",
+        assign_plan="literal").collect()))
+    b = sorted(map(tuple, ivf_topk(
+        emb, QUERIES, k=K, n_centroids=8, nprobe=3, iters=0, init="min_id",
+        assign_plan="join").collect()))
+    assert a == b
+
+
 def test_ivf_deterministic(emb):
     from pagerank_optimization_spark.operators.similarity import ivf_topk
 
