@@ -41,9 +41,11 @@ def _graph(spark: SparkSession, sf_dir: str):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank (damping .85, dangling redistribution,
     L1 tol 1e-6) over the sf0.001 transcript graph; top-ranked entities.
-    Runs kernel="auto" — the measured-crossover dispatch (csr-blocks
-    zero-exchange broadcast-frontier below 1M vertices, pure-JVM join-agg
-    above; rationale in pagerank.resolve_auto_kernel / BENCH/sweep.csv);
+    Runs kernel="auto" — the measured dispatch (csr-blocks zero-exchange
+    broadcast-frontier below 1M vertices; above it, pure-JVM join-agg for
+    short fixed-k0 runs and the csr scale mode for converged runs, whose
+    one-time layout compile amortizes — rationale in
+    pagerank.resolve_auto_kernel, BENCH/sweep.csv, converged_ab_4M.json);
     at this graph size that resolves to csr-blocks, with join-agg as the
     cross-check kernel (1e-12 differential, tests/test_pagerank_csr.py)."""
     vertices, edges = _graph(spark, SF0001)
@@ -188,6 +190,16 @@ def _q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_events(spark, sf_dir), gap_seconds=1800)
 
 
+def _q_events_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native gap-merge ``session_window`` operator in batch mode — the
+    SAME function streaming.sessions wraps with a watermark, so its oracle
+    parity certifies the streaming operator's per-session algebra too
+    (stream≡batch is pytest's contract, tests/test_streaming.py)."""
+    from pagerank_optimization_spark.operators.sessions import session_window_stats
+
+    return session_window_stats(_events(spark, sf_dir), gap_seconds=1800)
+
+
 def _q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.dedup import minhash_lsh_pairs
 
@@ -322,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "events_sessionize": _q_events_sessionize,
         "events_session_stats": _q_events_session_stats,
+        "events_session_window_stats": _q_events_session_window_stats,
         # portable-hash variants (oracle-checked — twins reproduce the
         # polynomial hash family / min-id IVF seeding exactly)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -356,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
         "events_sessionize": _sessions.sessionize_sql(1800),
         "events_session_stats": _sessions.session_stats_sql(1800),
+        "events_session_window_stats": _sessions.session_window_stats_sql(1800),
         # portable-hash twins (the operators run with hasher="portable" /
         # init="min_id" above so every pipeline stage is reproducible)
         "docs_minhash_pairs": osql_docs.docs_minhash_pairs_sql(

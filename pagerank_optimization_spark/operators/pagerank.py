@@ -228,28 +228,37 @@ def _dangling_of(vertices: DataFrame, edges: DataFrame, id_col: str) -> DataFram
     )
 
 
-def resolve_auto_kernel(n_vertices: int) -> str:
-    """kernel="auto" dispatch rule (measurements current as of round 4):
+def resolve_auto_kernel(n_vertices: int, fixed_iters: int | None = None) -> str:
+    """kernel="auto" dispatch rule (measurements current as of round 5):
     below BROADCAST_ROW_LIMIT vertices the csr-blocks broadcast-frontier
     superstep is ONE zero-exchange Arrow job and wins on compute
     throughput (2.36M vs 1.77M edges/s/superstep on the 1.9M-edge R-MAT
-    graph, BENCH/sweep.csv). Above it the picture changed in round 4: the
-    scale mode's ``applyInArrow`` kernel removed the pandas boundary cost
-    that made it 3.3× slower in round 3, and it now measures AT OR AHEAD
-    of join-agg (1.2× ahead at 1.1M vertices, 1.07× ahead at 4M —
-    BENCH/scale_kernel_probe_*.json, interleaved min-of-3; margins within
-    this box's trial-to-trial noise). join-agg stays the >1M default by a
-    deliberate, documented margin call: the measured compute difference is
-    inside the noise envelope, while join-agg's superstep is all-JVM — no
-    Python worker fleet and no Arrow hop in the core loop of a
-    1000-executor job, and no per-call layout compile (the csr wall pays
-    ~60s of one-time DISTRIBUTE_DATA at 4M, amortized only across long
-    runs). The vectorized scale mode is one flag away
-    (csr_broadcast_frontier=False) and is the right choice for
-    math-heavier per-edge kernels where the FLOPs/edge ratio moves."""
+    graph, BENCH/sweep.csv). Above it the choice is RUN-LENGTH dependent,
+    because the csr scale mode pays a one-time layout compile
+    (DISTRIBUTE_DATA, ~40-60s at 4M vertices) that only long runs
+    amortize:
+
+    - SHORT runs (``fixed_iters`` given — the reference's fixed-k0 mode,
+      typically k0=10): join-agg. Its superstep is all-JVM (no Python
+      worker fleet, no Arrow hop) and it starts compute immediately; at
+      k0=10 the compile would be ~half the wall. Compute-only margins
+      between the kernels are inside this box's noise envelope
+      (0.83-0.94× at 1.1M/4M vertices, BENCH/scale_kernel_probe_*.json).
+    - CONVERGED runs (``fixed_iters is None`` — iterate to tol, ~87
+      supersteps at 4M): csr-blocks scale mode. Measured amortized A/B at
+      4M vertices / 14.4M edges (tools/converged_ab.py, interleaved
+      min-of-2, COLD compile cache each csr trial so the wall includes
+      the full one-time compile): csr 219.4s vs join-agg 241.9s total
+      wall (0.907×), 199.2s vs 235.6s compute (0.846×) — csr won BOTH
+      trials on both measures (BENCH/converged_ab_4M.json). The compile
+      is a fixed cost; the per-superstep win compounds with run length,
+      so the margin only grows at 10^12-turn scale where convergence
+      still takes ~80 supersteps but each superstep is minutes."""
     from pagerank_optimization_spark.operators.pagerank_csr import BROADCAST_ROW_LIMIT
 
-    return "csr-blocks" if n_vertices <= BROADCAST_ROW_LIMIT else "join-agg"
+    if n_vertices <= BROADCAST_ROW_LIMIT:
+        return "csr-blocks"
+    return "join-agg" if fixed_iters is not None else "csr-blocks"
 
 
 def pagerank(
@@ -276,8 +285,10 @@ def pagerank(
     ``fixed_iters`` runs exactly K supersteps (oracle mode — matches the
     reference's fixed k0, tuned_variant_baseline.c:120); otherwise iterate
     to L1 delta ≤ tol. ``kernel`` ∈ {"join-agg", "csr-blocks", "auto"} —
-    "auto" picks by |V| via resolve_auto_kernel (measured crossover:
-    zero-exchange csr below BROADCAST_ROW_LIMIT, pure-JVM join-agg above).
+    "auto" picks by |V| and run length via resolve_auto_kernel (measured:
+    zero-exchange csr below BROADCAST_ROW_LIMIT; above it, pure-JVM
+    join-agg for short fixed-k0 runs, csr scale mode for converged runs —
+    the one-time layout compile amortizes, BENCH/converged_ab_4M.json).
 
     ``hub_split_degree``: degree-based edge splitting for power-law hubs
     (join-agg kernel only). Pass "auto" to probe the OUT-degree histogram
@@ -318,7 +329,7 @@ def pagerank(
         # full count is a real job, and the csr path recounts exactly
         # anyway inside its vid assignment (round-3 VERDICT nit)
         probe = vertices.limit(BROADCAST_ROW_LIMIT + 1).count()
-        kernel = resolve_auto_kernel(probe)
+        kernel = resolve_auto_kernel(probe, fixed_iters)
     if kernel == "csr-blocks":
         from pagerank_optimization_spark.operators.pagerank_csr import pagerank_csr
 

@@ -22,7 +22,11 @@ def _epoch_s(ts: Column) -> Column:
     timestampdiff against the naive epoch — matches DuckDB's
     epoch_us(naive)/1e6 exactly under any session zone."""
     origin = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-    return F.timestamp_diff("MICROSECOND", origin, ts) / F.lit(1e6)
+    # the ntz cast is a no-op for the batch tables (already NTZ — keeps the
+    # driver-session-TZ independence above); the streaming path feeds TZ
+    # timestamps (watermarks require TIMESTAMP), converted under the
+    # engine's pinned-UTC session (session.get_spark)
+    return F.timestamp_diff("MICROSECOND", origin, ts.cast("timestamp_ntz")) / F.lit(1e6)
 
 
 def sessionize(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
@@ -58,6 +62,43 @@ def session_stats(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
             F.max(_epoch_s(F.col("ts"))) - F.min(_epoch_s(F.col("ts"))), 3
         ).alias("duration_s"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def session_window_stats(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window`` — the
+    same logical operator as ``session_stats`` but expressed as a gap-merge
+    aggregation instead of a lag+cumsum window chain, which is the form
+    that runs UNCHANGED over a stream (streaming.sessions wraps this with a
+    watermark; batch callers get a DuckDB-oracle-checkable query).
+
+    Boundary convention differs from ``sessionize`` by design:
+    ``session_window`` windows are half-open [ts, ts+gap), so a gap of
+    EXACTLY ``gap_seconds`` starts a new session (>=), while the lag-based
+    ``sessionize`` keeps it (>). Identical on any corpus without exact-gap
+    ties; both conventions are industry-standard — documented, not hidden.
+
+    → (user_id, session_start_s, session_end_s, n_events, duration_s,
+    total_value); window bounds as NTZ-safe epoch seconds (see _epoch_s),
+    session_end = last event + gap (the session_window close)."""
+    gap = f"{gap_seconds} seconds"
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.max(_epoch_s(F.col("ts"))) - F.min(_epoch_s(F.col("ts"))), 3
+            ).alias("duration_s"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.round(_epoch_s(F.col("win.start")), 3).alias("session_start_s"),
+            F.round(_epoch_s(F.col("win.end")), 3).alias("session_end_s"),
+            "n_events",
+            "duration_s",
+            "total_value",
+        )
     )
 
 
@@ -99,4 +140,34 @@ SELECT s.session_id, s.user_id,
        round(sum(e.value), 6) AS total_value
 FROM sess s JOIN events e ON s.event_id = e.event_id
 GROUP BY s.session_id, s.user_id
+"""
+
+
+def session_window_stats_sql(gap_seconds: int = 1800) -> str:
+    """DuckDB twin of session_window_stats(): the gap-merge semantics
+    re-expressed as lag+cumsum with the session_window boundary (>=, since
+    [ts, ts+gap) windows are half-open), window end = last event + gap."""
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w IS NULL
+                OR epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w >= {gap_seconds}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       round(min(epoch_us(ts)/1000000.0), 3) AS session_start_s,
+       round(max(epoch_us(ts)/1000000.0) + {gap_seconds}, 3) AS session_end_s,
+       count(*) AS n_events,
+       round(max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0), 3) AS duration_s,
+       round(sum(value), 6) AS total_value
+FROM s
+GROUP BY user_id, sid
 """

@@ -111,3 +111,80 @@ def test_tool_usage_rates_runs(spark, feed_dir):
     # deterministic feed spans many days so most windows close
     assert len(rows) > 0
     assert all(r.n_invocations > 0 for r in rows)
+
+
+@pytest.fixture()
+def events_feed_dir(spark):
+    """Events TIME-SPLIT into two chunks (median ts) + a far-future flush
+    event from a sentinel user: chunks arrive in time order so no real
+    event is ever watermark-late, sessions spanning the split exercise
+    cross-batch state-store merging, and the flush advances the watermark
+    past every real session end so append mode emits them all."""
+    import glob
+    import os
+    from datetime import timedelta
+
+    d = tempfile.mkdtemp(prefix="events_feed_")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = events.orderBy("ts", "event_id").collect()
+    schema = events.schema
+    cut = len(rows) // 2
+    t_max = max(r.ts for r in rows)
+    flush = rows[-1].asDict()
+    flush["event_id"], flush["user_id"] = -1, -1
+    flush["ts"] = t_max + timedelta(days=30)
+    from pyspark.sql import Row
+
+    spark.createDataFrame(rows[:cut], schema).coalesce(1).write.parquet(f"{d}/c0")
+    spark.createDataFrame(rows[cut:], schema).coalesce(1).write.parquet(f"{d}/c1")
+    spark.createDataFrame([Row(**flush)], schema).coalesce(1).write.parquet(f"{d}/c2")
+    for i, part in enumerate(sorted(glob.glob(f"{d}/c*/part-*.parquet"))):
+        os.rename(part, f"{d}/chunk{i}.parquet")
+    for c in ("c0", "c1", "c2"):
+        shutil.rmtree(f"{d}/{c}")
+    yield d, events, schema
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_session_stats_match_batch(spark, events_feed_dir):
+    """Stream (time-split feed, cross-batch session merging, watermark
+    flush) ≡ batch session_window_stats on the same events — row-exact."""
+    from pagerank_optimization_spark.operators.sessions import session_window_stats
+    from pagerank_optimization_spark.streaming.sessions import (
+        stream_events,
+        streaming_session_stats,
+    )
+
+    d, events, schema = events_feed_dir
+    q = (
+        streaming_session_stats(stream_events(spark, d, schema), gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM sess_out WHERE user_id <> -1").collect())
+    )
+    want = sorted(map(tuple, session_window_stats(events, gap_seconds=1800).collect()))
+    assert got == want
+    assert len(got) > 100  # real corpus: thousands of sessions
+
+
+def test_session_window_stats_batch_consistency(spark):
+    """The gap-merge operator agrees with the lag+cumsum session_stats on
+    totals (same partition of events into sessions on this corpus — no
+    exact-gap ties at 1800s)."""
+    from pagerank_optimization_spark.operators.sessions import (
+        session_stats,
+        session_window_stats,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    via_window = session_window_stats(events, gap_seconds=1800).collect()
+    via_lag = session_stats(events, gap_seconds=1800).collect()
+    assert len(via_window) == len(via_lag)
+    assert sum(r.n_events for r in via_window) == events.count()
+    assert abs(sum(r.total_value for r in via_window) - sum(r.total_value for r in via_lag)) < 1e-3
