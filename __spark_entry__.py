@@ -136,6 +136,31 @@ def _q_lpa_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(vertices, wedges, rounds=4)
 
 
+def _q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the undirected transcript graph — exact peeling fixpoint;
+    the SQL twin unrolls 16 rounds with a loud non-convergence sentinel
+    (plans.oracle_sql.kcore_query_sql), so a corpus that needed more rounds
+    would FAIL the compare rather than silently under-peel."""
+    from pagerank_optimization_spark.operators.kcore import kcore
+
+    vertices, edges = _graph(spark, sf_dir)
+    return kcore(vertices, edges, k=3)
+
+
+def _q_bfs_conv_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source directed BFS from a conversation-entity seed slice, 8
+    fixed rounds — mirrors the unrolled twin round-for-round (fixed-rounds
+    oracle mode, same convention as graph_cc_r16 / graph_lpa_r4). Conv
+    seeds give a nontrivial hop spread {0,1,2} on this hub-dominated
+    graph; tool entities are sinks (in-edges only), so seeding there would
+    be a 0-hop no-op."""
+    from pagerank_optimization_spark.operators.bfs import bfs_distances
+
+    vertices, edges = _graph(spark, sf_dir)
+    seeds = vertices.filter(F.col("entity").startswith("conv:conv-1"))
+    return bfs_distances(vertices, edges, seeds, fixed_rounds=8)
+
+
 def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
         mean_word_len_expr,
@@ -327,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
+        "graph_kcore3": _q_kcore3,
+        "graph_bfs_conv_r8": _q_bfs_conv_r8,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -363,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
+        "graph_kcore3": osql.kcore_query_sql(k=3, rounds=16),
+        "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),

@@ -1,0 +1,88 @@
+"""k-core extraction — iterative degree peeling on the undirected view of
+the link graph (engine-brief addition; the reference is PageRank-only, its
+iteration pattern tuned_variant_baseline.c:107-148 is what the peeling
+loop generalizes — same ping-pong persist/unpersist discipline as
+operators.components).
+
+The k-core is the maximal induced subgraph in which every vertex has
+degree ≥ k. Peeling (repeatedly dropping vertices with current degree < k)
+reaches that fixpoint in O(peeling-rounds) supersteps; each round is two
+semi-joins (restrict the symmetrized edge list to surviving endpoints) and
+one count aggregation — all shuffle-partitioned by the edge key, no
+driver-side data beyond a scalar survivor count per round.
+
+Scale: the survivor set only shrinks, so per-round shuffle volume is
+monotonically non-increasing; the symmetrized edge list is partitioned
+once and reused every round (the DISTRIBUTE_DATA-once pattern). No skew
+hazard: a hub that survives contributes one count row per partition via
+partial aggregation, and the semi-join build side is the (shrinking)
+vertex set, never an adjacency list.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.operators.components import symmetrize
+
+
+def kcore(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    max_rounds: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """→ DataFrame(entity) — the vertices of the k-core (exact fixpoint;
+    iterates until a round removes nothing). ``max_rounds`` is a safety
+    bound only — peeling converges in far fewer rounds on any real graph
+    (each round removes at least one vertex or stops).
+
+    Collects ONE scalar per round (the survivor count — the CC ``changed``
+    pattern); all data stays distributed."""
+    spark = vertices.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    sym = symmetrize(edges).repartition(partitions, "a").persist()
+    sym.count()
+
+    alive = vertices.select("entity").distinct().persist()
+    n_alive = alive.count()
+    metrics: list[dict] = []
+
+    for rnd in range(max_rounds):
+        t0 = time.monotonic()
+        # induced-subgraph degree: both endpoints must be alive
+        deg = (
+            sym.join(alive.select(F.col("entity").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("entity").alias("b")), "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count("*").alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("a").alias("entity"))
+            .repartition(partitions, "entity")
+            .persist()
+        )
+        n_next = nxt.count()
+        metrics.append(
+            {
+                "round": rnd,
+                "alive": n_next,
+                "removed": n_alive - n_next,
+                "wall_ms": (time.monotonic() - t0) * 1000.0,
+            }
+        )
+        stable = n_next == n_alive
+        alive.unpersist()
+        alive, n_alive = nxt, n_next
+        if stable or n_alive == 0:
+            break
+
+    sym.unpersist()
+    return alive

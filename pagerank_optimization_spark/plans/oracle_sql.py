@@ -303,3 +303,78 @@ SELECT count(*) AS n_triangles
 FROM und e1
 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+def kcore_query_sql(k: int = 3, rounds: int = 16, dialect: str = "duckdb") -> str:
+    """Unrolled degree peeling on the symmetrized graph — mirrors
+    operators.kcore.kcore (exact fixpoint). The Spark side iterates to
+    stability; the unroll is exact only if peeling stabilizes within
+    ``rounds``, and the convergence sentinel makes that self-checking: if
+    round ``rounds`` still removed vertices, a visible bogus row
+    ('!kcore-not-converged') fails the driver compare LOUDLY instead of
+    silently under-peeling (the cc_rounds sentinel pattern,
+    plans.oracle_sql_docs)."""
+    m = _mat(dialect)
+    steps = [
+        f"""sym AS {m}(
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+)""",
+        f"a0 AS {m}(SELECT entity FROM vertices)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+d{i} AS {m}(
+  SELECT s.a AS entity, count(*) AS deg
+  FROM sym s
+  JOIN a{p} x ON s.a = x.entity
+  JOIN a{p} y ON s.b = y.entity
+  GROUP BY s.a
+),
+a{i} AS {m}(
+  SELECT entity FROM d{i} WHERE deg >= {k}
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity FROM a{rounds}\n"
+        "UNION ALL\n"
+        "SELECT '!kcore-not-converged' AS entity "
+        f"WHERE (SELECT count(*) FROM a{rounds - 1}) <> (SELECT count(*) FROM a{rounds})"
+    )
+
+
+def bfs_query_sql(
+    seed_like: str = "conv:conv-1%", rounds: int = 8, dialect: str = "duckdb"
+) -> str:
+    """Unrolled multi-source directed BFS — mirrors
+    operators.bfs.bfs_distances(fixed_rounds=rounds) round-for-round:
+    dist = first round a vertex enters the settled set; vertices never
+    reached within ``rounds`` are absent on BOTH sides."""
+    m = _mat(dialect)
+    steps = [
+        f"""d0 AS {m}(
+  SELECT entity, CAST(0 AS BIGINT) AS dist FROM vertices WHERE entity LIKE '{seed_like}'
+)""",
+        f"f0 AS {m}(SELECT entity FROM d0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+f{i} AS {m}(
+  SELECT DISTINCT e.dst AS entity
+  FROM edges e JOIN f{p} f ON e.src = f.entity
+  WHERE e.dst NOT IN (SELECT entity FROM d{p})
+),
+d{i} AS {m}(
+  SELECT entity, dist FROM d{p}
+  UNION ALL
+  SELECT entity, CAST({i} AS BIGINT) AS dist FROM f{i}
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, dist FROM d{rounds}"
+    )

@@ -135,3 +135,38 @@ def triangle_count(edges: set[tuple[str, str]]) -> int:
         for b in bs:
             count += len(bs & adj.get(b, set()))
     return count
+
+
+def kcore(vertices: list[str], edges: set[tuple[str, str]], k: int) -> set[str]:
+    """Exact k-core via repeated peeling on the undirected simple graph."""
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    alive = set(vertices)
+    while True:
+        deg: dict[str, int] = {v: 0 for v in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v in alive if deg[v] < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+def bfs_distances(
+    edges: set[tuple[str, str]], seeds: set[str], rounds: int | None = None
+) -> dict[str, int]:
+    """Multi-source directed BFS hop distances; vertices unreached (or
+    beyond ``rounds``) are absent."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    r = 0
+    while frontier and (rounds is None or r < rounds):
+        r += 1
+        frontier = {d for v in frontier for d in adj.get(v, ()) if d not in dist}
+        for v in frontier:
+            dist[v] = r
+    return dist

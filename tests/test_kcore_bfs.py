@@ -1,0 +1,92 @@
+"""k-core and multi-source BFS differential tests vs the independent
+Python oracle (exact equality — same contract as the CC/LPA suite)."""
+
+import pytest
+
+from pagerank_optimization_spark.operators.bfs import bfs_distances
+from pagerank_optimization_spark.operators.graph_build import build_graph
+from pagerank_optimization_spark.operators.kcore import kcore
+from pagerank_optimization_spark.sources.transcripts import synthesize_transcripts
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    transcripts = synthesize_transcripts(spark, 150, seed=7).cache()
+    vertices, wedges = build_graph(transcripts)
+    vertices, wedges = vertices.cache(), wedges.cache()
+    rows = [r.asDict() for r in transcripts.select("conv_id", "turn_idx", "role", "tool").collect()]
+    o_edges = oracle.derive_edges(rows)
+    o_vertices = oracle.vertices_of(rows, o_edges)
+    return vertices, wedges, o_vertices, o_edges
+
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_kcore_exact(graph, k):
+    vertices, wedges, o_vertices, o_edges = graph
+    got = {r.entity for r in kcore(vertices, wedges, k=k).collect()}
+    assert got == oracle.kcore(o_vertices, o_edges, k)
+
+
+def test_kcore_known_graph(spark):
+    """Triangle + pendant path: the 2-core is exactly the triangle."""
+    vertices = spark.createDataFrame([(v,) for v in "abcde"], "entity string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    assert {r.entity for r in kcore(vertices, edges, k=2).collect()} == {"a", "b", "c"}
+    assert kcore(vertices, edges, k=3).count() == 0
+
+
+def test_kcore_empty_core_terminates(spark):
+    """k above the max degree empties the core without looping to
+    max_rounds (the n_alive == 0 early exit)."""
+    vertices = spark.createDataFrame([("a",), ("b",)], "entity string")
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert kcore(vertices, edges, k=2, max_rounds=5).count() == 0
+
+
+def test_bfs_exact_full(graph):
+    """Exhaustive BFS (run to frontier exhaustion) matches the oracle on
+    every reached vertex — unreached vertices absent on both sides."""
+    vertices, wedges, o_vertices, o_edges = graph
+    seeds_l = [v for v in o_vertices if v.startswith("tool:")]
+    seeds = vertices.filter(vertices.entity.startswith("tool:"))
+    got = {r.entity: r.dist for r in bfs_distances(vertices, wedges, seeds).collect()}
+    assert got == oracle.bfs_distances(o_edges, set(seeds_l))
+
+
+@pytest.mark.parametrize("rounds", [0, 1, 3])
+def test_bfs_fixed_rounds_prefix(graph, rounds):
+    """fixed_rounds=R is exactly the R-round prefix of the full BFS."""
+    vertices, wedges, o_vertices, o_edges = graph
+    seeds_l = [v for v in o_vertices if v.startswith("tool:")]
+    seeds = vertices.filter(vertices.entity.startswith("tool:"))
+    got = {
+        r.entity: r.dist
+        for r in bfs_distances(vertices, wedges, seeds, fixed_rounds=rounds).collect()
+    }
+    assert got == oracle.bfs_distances(o_edges, set(seeds_l), rounds=rounds)
+
+
+def test_bfs_min_hop_on_diamond(spark):
+    """Two paths of different lengths to the same vertex: dist is the MIN
+    (the vertex settles in the earlier round and the anti-join keeps the
+    longer path from overwriting it)."""
+    vertices = spark.createDataFrame([(v,) for v in "sabct"], "entity string")
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "t"), ("s", "b"), ("b", "c"), ("c", "t")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "entity string")
+    got = {r.entity: r.dist for r in bfs_distances(vertices, edges, seeds).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "t": 2, "c": 2}
+
+
+def test_bfs_seeds_not_in_vertices_ignored(spark):
+    vertices = spark.createDataFrame([("a",), ("b",)], "entity string")
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "entity string")
+    got = {r.entity: r.dist for r in bfs_distances(vertices, edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1}

@@ -41,3 +41,37 @@ def test_cascade_oracle_sentinel_fires_when_unroll_too_shallow(con):
         assert sorted(shallow["doc_id"]) == sorted(deep["doc_id"])
     else:
         assert (shallow["doc_id"] == -1).sum() == 1
+
+
+EVENTS = "/root/testdata/sf0.01/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def graph_con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{EVENTS}')")
+    return c
+
+
+def test_kcore_oracle_converges_at_default_depth(graph_con):
+    """The rounds=16 peeling unroll must have converged on the test graph:
+    the '!kcore-not-converged' sentinel row must be absent."""
+    from pagerank_optimization_spark.plans.oracle_sql import kcore_query_sql
+
+    rows = graph_con.sql(kcore_query_sql(k=3, rounds=16)).df()
+    assert (rows["entity"] == "!kcore-not-converged").sum() == 0
+    assert len(rows) > 0
+
+
+def test_kcore_oracle_sentinel_fires_when_unroll_too_shallow(graph_con):
+    """With rounds=1 either peeling already converged (then the core must
+    equal the deep unroll's) or the sentinel row must appear — a silent
+    under-peel is the failure mode the sentinel exists to prevent."""
+    from pagerank_optimization_spark.plans.oracle_sql import kcore_query_sql
+
+    shallow = graph_con.sql(kcore_query_sql(k=3, rounds=1)).df()
+    deep = graph_con.sql(kcore_query_sql(k=3, rounds=16)).df()
+    if (shallow["entity"] == "!kcore-not-converged").sum() == 0:
+        assert sorted(shallow["entity"]) == sorted(deep["entity"])
+    else:
+        assert (shallow["entity"] == "!kcore-not-converged").sum() == 1
