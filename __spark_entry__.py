@@ -161,6 +161,31 @@ def _q_bfs_conv_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(vertices, edges, seeds, fixed_rounds=8)
 
 
+def _q_pagerank_weighted_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-weighted PageRank: the multigraph view (interaction
+    multiplicity → row-stochastic cnt/total weights,
+    graph_build.build_graph(edge_weights="count")) through the SAME
+    pagerank() kernel — weighted SpMV is the general form of J1/A2, and
+    this query oracle-checks the weight plumbing end to end."""
+    vertices, wedges = build_graph(
+        transcripts_from_events(_events(spark, sf_dir)), edge_weights="count"
+    )
+    res = pagerank(vertices, wedges, fixed_iters=5)
+    return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
+
+
+def _q_hits_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 5 iterations, L1-normalized per half-step —
+    mutual-reinforcement scores on the directed graph (the unrolled twin
+    reproduces both half-steps per round, plans.oracle_sql.hits_query_sql)."""
+    from pagerank_optimization_spark.operators.hits import hits
+
+    vertices, edges = _graph(spark, sf_dir)
+    return hits(vertices, edges, k=5).select(
+        "entity", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
+
+
 def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
         mean_word_len_expr,
@@ -347,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_k5_csr": _q_pagerank_k5_csr,
         "graph_pagerank_k5_csr_scale": _q_pagerank_k5_csr_scale,
         "graph_ppr_k5": _q_ppr_k5,
+        "graph_pagerank_weighted_k5": _q_pagerank_weighted_k5,
+        "graph_hits_k5": _q_hits_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
         "graph_triangles_deg": _q_triangles_deg,
@@ -385,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_k5_csr": osql.pagerank_query_sql(k=5),
         "graph_pagerank_k5_csr_scale": osql.pagerank_query_sql(k=5),
         "graph_ppr_k5": osql.ppr_query_sql(k=5, reset_prefix="tool:"),
+        "graph_pagerank_weighted_k5": osql.pagerank_weighted_query_sql(k=5),
+        "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
         "graph_triangles_deg": osql.triangle_query_sql(),

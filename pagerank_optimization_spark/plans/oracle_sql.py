@@ -378,3 +378,105 @@ d{i} AS {m}(
         f"WITH {graph_ctes(dialect)},\n{body}\n"
         f"SELECT entity, dist FROM d{rounds}"
     )
+
+
+def weighted_graph_ctes(dialect: str = "duckdb") -> str:
+    """Multigraph extension of graph_ctes: interaction multiplicities per
+    (src, dst) pair and per-source weight totals — mirrors
+    graph_build.edge_multiplicities / build_graph(edge_weights="count")
+    (duplicates kept, then counted; same three edge families)."""
+    m = _mat(dialect)
+    return f"""
+multi_edges AS {m}(
+  SELECT src, dst, count(*) AS cnt FROM (
+    SELECT src, dst FROM reply_edges WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT src, dst FROM tool_edges
+    UNION ALL
+    SELECT src, dst FROM followup_edges
+  ) u
+  GROUP BY src, dst
+),
+wout AS {m}(
+  SELECT src AS entity, sum(cnt) AS total FROM multi_edges GROUP BY src
+)"""
+
+
+def pagerank_weighted_query_sql(
+    k: int = 5, dialect: str = "duckdb", round_to: int = 8
+) -> str:
+    """Unrolled K-step damped PageRank over the count-weighted multigraph —
+    row-stochastic weights cnt/total per source (the engine's
+    build_graph(edge_weights="count") path feeding the same pagerank()
+    kernel; dangling = no out-interactions, identical vertex set)."""
+    d = DAMPING
+    m = _mat(dialect)
+    steps = []
+    steps.append(f"nv AS {m}(SELECT count(*) AS n FROM vertices)")
+    steps.append(f"r0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+dang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{p} r LEFT JOIN wout w ON r.entity = w.entity
+  WHERE w.entity IS NULL
+),
+contrib{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr * e.cnt / w.total) AS contrib
+  FROM multi_edges e
+  JOIN r{p} r ON e.src = r.entity
+  JOIN wout w ON e.src = w.entity
+  GROUP BY e.dst
+),
+r{i} AS {m}(
+  SELECT v.entity,
+         (1.0 - {d}) / (SELECT n FROM nv)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT n FROM nv)
+                  + coalesce(c.contrib, 0)) AS pr
+  FROM vertices v LEFT JOIN contrib{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{weighted_graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, round(pr, {round_to}) AS pr FROM r{k}"
+    )
+
+
+def hits_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
+    """Unrolled K-iteration HITS with L1 normalization after every
+    half-step — mirrors operators.hits.hits() exactly (auth gathers hubs
+    over in-edges, hub gathers the FRESH auth over out-edges; a zero sum
+    leaves the vector all-zero via nullif, matching the engine's guard)."""
+    m = _mat(dialect)
+    steps = [f"nv AS {m}(SELECT count(*) AS n FROM vertices)"]
+    steps.append(f"h0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS s FROM vertices)")
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+araw{i} AS {m}(
+  SELECT e.dst AS entity, sum(h.s) AS raw
+  FROM edges e JOIN h{p} h ON e.src = h.entity
+  GROUP BY e.dst
+),
+a{i} AS {m}(
+  SELECT v.entity,
+         coalesce(r.raw / nullif((SELECT sum(raw) FROM araw{i}), 0), 0) AS s
+  FROM vertices v LEFT JOIN araw{i} r ON v.entity = r.entity
+),
+hraw{i} AS {m}(
+  SELECT e.src AS entity, sum(a.s) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.entity
+  GROUP BY e.src
+),
+h{i} AS {m}(
+  SELECT v.entity,
+         coalesce(r.raw / nullif((SELECT sum(raw) FROM hraw{i}), 0), 0) AS s
+  FROM vertices v LEFT JOIN hraw{i} r ON v.entity = r.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT a.entity, round(a.s, {round_to}) AS auth, round(h.s, {round_to}) AS hub\n"
+        f"FROM a{k} a JOIN h{k} h ON a.entity = h.entity"
+    )

@@ -170,3 +170,80 @@ def bfs_distances(
         for v in frontier:
             dist[v] = r
     return dist
+
+
+def derive_edge_counts(rows) -> dict[tuple[str, str], int]:
+    """Multigraph view: interaction multiplicity per (src, dst) — the
+    python twin of graph_build.edge_multiplicities (duplicates counted,
+    same three edge families as derive_edges)."""
+    by_conv: dict[str, list] = {}
+    counts: dict[tuple[str, str], int] = {}
+
+    def bump(e):
+        counts[e] = counts.get(e, 0) + 1
+
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        ents = []
+        for r in turns:
+            ent = turn_entity(r["role"], r["conv_id"], r["tool"])
+            if ent is None:
+                continue
+            ents.append((r, ent))
+        for i, (r, ent) in enumerate(ents):
+            if i > 0:
+                bump((ent, ents[i - 1][1]))
+            if r["role"] == "assistant" and r["tool"] is not None:
+                bump((f"agent:{agent_key(r['conv_id'])}", f"tool:{r['tool']}"))
+                if i + 1 < len(ents):
+                    bump((ents[i + 1][1], f"tool:{r['tool']}"))
+    return counts
+
+
+def pagerank_weighted_dense(
+    vertices: list[str],
+    edge_counts: dict[tuple[str, str], int],
+    damping: float = 0.85,
+    fixed_iters: int = 5,
+) -> dict[str, float]:
+    """Dense K-step damped PageRank over row-stochastic count weights
+    (weight = cnt / Σ_dst cnt per source)."""
+    n = len(vertices)
+    idx = {v: i for i, v in enumerate(vertices)}
+    A = np.zeros((n, n), dtype=np.float64)
+    wtot = np.zeros(n, dtype=np.float64)
+    for (s, d), c in edge_counts.items():
+        wtot[idx[s]] += c
+    for (s, d), c in edge_counts.items():
+        A[idx[d], idx[s]] = c / wtot[idx[s]]
+    r = np.full(n, 1.0 / n)
+    x = np.full(n, 1.0 / n)
+    dangling = wtot == 0
+    for _ in range(fixed_iters):
+        dm = x[dangling].sum()
+        x = (1.0 - damping) * r + damping * (A @ x + dm * r)
+    return {v: float(x[idx[v]]) for v in vertices}
+
+
+def hits_dense(
+    vertices: list[str], edges: set[tuple[str, str]], k: int = 5
+) -> dict[str, tuple[float, float]]:
+    """K-iteration HITS with L1 normalization after every half-step —
+    the twin of operators.hits.hits(). → {entity: (auth, hub)}."""
+    n = len(vertices)
+    idx = {v: i for i, v in enumerate(vertices)}
+    A = np.zeros((n, n), dtype=np.float64)  # A[src, dst] = 1 per edge
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(k):
+        a = A.T @ h
+        s = a.sum()
+        a = a / s if s > 0 else a * 0.0
+        h = A @ a
+        s = h.sum()
+        h = h / s if s > 0 else h * 0.0
+    return {v: (float(a[idx[v]]), float(h[idx[v]])) for v in vertices}
