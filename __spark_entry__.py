@@ -161,6 +161,30 @@ def _q_bfs_conv_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(vertices, edges, seeds, fixed_rounds=8)
 
 
+def _q_reach_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function at r=2 — per-vertex count of vertices
+    within ≤2 hops along src→dst edges (pair-expansion operator; the
+    HyperBall HLL sketch is the pytest-checked scale path, same
+    exact↔sketch split as ngram_jaccard↔minhash)."""
+    from pagerank_optimization_spark.operators.neighborhood import neighborhood_reach
+
+    vertices, edges = _graph(spark, sf_dir)
+    return neighborhood_reach(vertices, edges, r=2)
+
+
+def _q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 over the documents table for a fixed 3-term query —
+    pure-DataFrame ranked retrieval (operators.retrieval.bm25_topk),
+    postings filtered to the query terms before any shuffle."""
+    from pagerank_optimization_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_TERMS, top_n=25)
+
+
+BM25_TERMS = ("hash", "join", "vector")
+
+
 def _q_pagerank_weighted_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-weighted PageRank: the multigraph view (interaction
     multiplicity → row-stochastic cnt/total weights,
@@ -381,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_r4": _q_lpa_r4,
         "graph_kcore3": _q_kcore3,
         "graph_bfs_conv_r8": _q_bfs_conv_r8,
+        "graph_reach_r2": _q_reach_r2,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -394,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_lang_quality": _q_docs_lang_quality,
+        "docs_bm25_topk": _q_docs_bm25,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
@@ -421,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "graph_kcore3": osql.kcore_query_sql(k=3, rounds=16),
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
+        "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),
@@ -442,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
             semantic_threshold=0.42,
         ),
         "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
+        "docs_bm25_topk": osql_docs.docs_bm25_topk_sql(BM25_TERMS, top_n=25),
         "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

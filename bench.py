@@ -264,6 +264,15 @@ def main() -> None:
             "skew_caps_fired": dict(ng_caps),
         }
 
+        from pagerank_optimization_spark.operators.retrieval import bm25_topk
+
+        timed_min(
+            "pipe_bm25_topk",
+            lambda: bm25_topk(docs, ("hash", "join", "vector"), top_n=25).count(),
+            n=oneshot_trials,
+        )
+        pipe["bm25_docs_per_sec"] = round(n_docs / queries["pipe_bm25_topk"])
+
         timed_min(
             "pipe_events_sessionize",
             lambda: sessionize(events, gap_seconds=1800).count(),

@@ -480,3 +480,27 @@ h{i} AS {m}(
         f"SELECT a.entity, round(a.s, {round_to}) AS auth, round(h.s, {round_to}) AS hub\n"
         f"FROM a{k} a JOIN h{k} h ON a.entity = h.entity"
     )
+
+
+def neighborhood_query_sql(r: int = 2, dialect: str = "duckdb") -> str:
+    """Unrolled exact neighborhood function — mirrors
+    operators.neighborhood.neighborhood_reach(r) round-for-round:
+    reachability pairs (v, u) expanded along src→dst edges r times, then
+    counted per v (reach includes v itself)."""
+    m = _mat(dialect)
+    steps = [f"n0 AS {m}(SELECT entity AS v, entity AS u FROM vertices)"]
+    for i in range(1, r + 1):
+        p = i - 1
+        steps.append(f"""
+n{i} AS {m}(
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM n{p}
+    UNION ALL
+    SELECT n.v, e.dst AS u FROM n{p} n JOIN edges e ON n.u = e.src
+  )
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT v AS entity, count(*) AS reach FROM n{r} GROUP BY v"
+    )

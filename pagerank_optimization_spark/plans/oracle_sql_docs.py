@@ -567,3 +567,41 @@ SELECT CAST(-1 AS BIGINT) AS doc_id WHERE (SELECT c FROM not_conv) > 0
 UNION ALL
 SELECT CAST(-2 AS BIGINT) AS doc_id WHERE (SELECT c FROM s_not_conv) > 0
 """
+
+
+def docs_bm25_topk_sql(
+    terms, *, k1: float = 1.2, b: float = 0.75, top_n: int = 20, round_to: int = 6
+) -> str:
+    """Twin of operators.retrieval.bm25_topk — same tokenizer (TOKS), same
+    Lucene-style '+1' idf, same left-associative score arithmetic, score
+    rounded to ``round_to`` BEFORE the (score desc, doc_id) ordering so the
+    top-n cut is reproducible across engines."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS} AS tk FROM documents
+),
+dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * p.tf * {k1 + 1.0!r}
+           / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * d.dl / s.avgdl))
+         ), {round_to}) AS score
+  FROM post p
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {top_n}
+"""
