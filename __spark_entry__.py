@@ -183,6 +183,82 @@ def _q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_TERMS = ("hash", "join", "vector")
+STRAT_RATES = {"en": 0.5, "zh": 0.2}
+
+
+def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% content-hash sample (portable MD5 bucket — the
+    reproducible-across-runs/engines sampling primitive; df.sample() is
+    partitioning-dependent and useless at 100 TB)."""
+    from pagerank_optimization_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.1, "doc_id").select("doc_id", "lang")
+
+
+def _q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing sample: 50% en, 20% zh, 5% everything
+    else — one codegen'd predicate, zero joins/shuffles."""
+    from pagerank_optimization_spark.operators.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_hash_sample(
+        docs, STRAT_RATES, "lang", "doc_id", default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def _q_docs_pack_b512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing at budget 512 — distributed two-level
+    prefix scan on the Spark side, single-window cumsum in the twin; the
+    values must agree exactly (partition-invariance is the operator's
+    contract)."""
+    from pagerank_optimization_spark.operators.sampling import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, 512)
+
+
+def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats per document: duplicate-line
+    fraction (pure codegen'd array expression) and top-2-gram mass
+    (doc-keyed explode + two map-side-combinable aggs)."""
+    from pagerank_optimization_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, ngram_n=2)
+
+
+def _q_docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cap: the 20 best-quality docs per source via
+    the two-stage salted top-N (the oracle is a single row_number window
+    — the salted plan must reproduce it exactly)."""
+    from pagerank_optimization_spark.operators.quality import source_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_cap(docs, 20)
+
+
+CONTAM_K = 4
+CONTAM_RATE = 0.02
+
+
+def _q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 2% hash-sample of the
+    corpus plays the benchmark; the complement is the training corpus;
+    flag corpus docs sharing any word 4-gram (broadcast semi-join — the
+    big side never shuffles)."""
+    from pagerank_optimization_spark.operators.quality import contamination_flags
+    from pagerank_optimization_spark.operators.sampling import (
+        SAMPLE_DENOM,
+        _sample_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bkt = _sample_bucket(F.col("doc_id"), "bench")
+    thr = int(CONTAM_RATE * SAMPLE_DENOM)
+    bench = docs.where(bkt < F.lit(thr))
+    corpus = docs.where(bkt >= F.lit(thr))
+    return contamination_flags(corpus, bench, k=CONTAM_K)
 
 
 def _q_pagerank_weighted_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +496,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_lang_quality": _q_docs_lang_quality,
         "docs_bm25_topk": _q_docs_bm25,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_b512": _q_docs_pack_b512,
+        "docs_repetition": _q_docs_repetition,
+        "docs_source_cap": _q_docs_source_cap,
+        "docs_contamination": _q_docs_contamination,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
@@ -470,6 +552,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
         "docs_bm25_topk": osql_docs.docs_bm25_topk_sql(BM25_TERMS, top_n=25),
+        "docs_hash_sample": osql_docs.docs_hash_sample_sql(0.1),
+        "docs_stratified_sample": osql_docs.docs_stratified_sample_sql(
+            STRAT_RATES, default_rate=0.05
+        ),
+        "docs_pack_b512": osql_docs.docs_pack_sql(512),
+        "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
+        "docs_source_cap": osql_docs.docs_source_cap_sql(20),
+        "docs_contamination": osql_docs.docs_contamination_sql(
+            k=CONTAM_K, bench_rate=CONTAM_RATE, bench_salt="bench"
+        ),
         "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

@@ -273,6 +273,43 @@ def main() -> None:
         )
         pipe["bm25_docs_per_sec"] = round(n_docs / queries["pipe_bm25_topk"])
 
+        from pagerank_optimization_spark.operators.quality import (
+            contamination_flags,
+            repetition_stats,
+            source_cap,
+        )
+        from pagerank_optimization_spark.operators.sampling import (
+            SAMPLE_DENOM,
+            _sample_bucket,
+        )
+        from pyspark.sql import functions as _F
+
+        timed_min(
+            "pipe_repetition_stats",
+            lambda: repetition_stats(docs, ngram_n=2).count(),
+            n=oneshot_trials,
+        )
+        pipe["repetition_docs_per_sec"] = round(
+            n_docs / queries["pipe_repetition_stats"]
+        )
+        timed_min(
+            "pipe_source_cap",
+            lambda: source_cap(docs, 20).count(),
+            n=oneshot_trials,
+        )
+        _bkt = _sample_bucket(_F.col("doc_id"), "bench")
+        _thr = int(0.02 * SAMPLE_DENOM)
+        timed_min(
+            "pipe_contamination",
+            lambda: contamination_flags(
+                docs.where(_bkt >= _thr), docs.where(_bkt < _thr), k=4
+            ).count(),
+            n=oneshot_trials,
+        )
+        pipe["contamination_docs_per_sec"] = round(
+            n_docs / queries["pipe_contamination"]
+        )
+
         timed_min(
             "pipe_events_sessionize",
             lambda: sessionize(events, gap_seconds=1800).count(),

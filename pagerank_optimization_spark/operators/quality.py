@@ -1,0 +1,187 @@
+"""Corpus-quality operators for training-data curation: repetition
+stats, per-source caps, and benchmark decontamination.
+
+These are the three standard curation passes a web-scale corpus gets
+after dedup (all public practice — Gopher's repetition filters,
+per-domain caps in CCNet/C4, and benchmark n-gram decontamination in
+GPT-3/PaLM appendices):
+
+1. ``repetition_stats`` — per-document duplicate-line fraction and
+   top-n-gram mass (documents that repeat themselves are boilerplate or
+   spam; Rae et al. 2021 §A1.3 filter on exactly these).
+2. ``source_cap`` — keep at most N best-quality documents per source /
+   domain, so one crawler-friendly site cannot dominate the corpus mix.
+3. ``contamination_flags`` — flag corpus documents sharing any word
+   k-gram with a benchmark set, the standard eval-decontamination move.
+
+Scale notes (100 TB lens):
+- repetition_stats is one explode + two doc-keyed aggregations — linear,
+  map-side-combinable, no cross-document join at all.
+- source_cap does NOT run one global sort per source (a hot domain with
+  10^9 docs would funnel through a single window task). It is the
+  classic two-stage salted top-N: rank inside (source, salt) buckets,
+  keep N candidates per bucket (≤ salt·N rows per source survive — tiny),
+  then re-rank the candidates. Identical output, bounded task size.
+- contamination_flags broadcasts the benchmark shingle set (benchmarks
+  are thousands of docs, not billions) so the corpus-side pass is a
+  broadcast semi-join — zero shuffle of the 100 TB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score_expr, tokens_expr
+
+
+def _lines_expr(text: Column) -> Column:
+    """Non-blank trimmed lines (array<string>)."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def _grams_all(text: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (array<string>, duplicates kept) — the
+    multiset dedup.shingles() collapses with distinct(); repetition mass
+    needs the multiplicities."""
+    toks = tokens_expr(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.filter(grams, lambda g: F.size(F.split(g, " ")) == n)
+
+
+def repetition_stats(
+    documents: DataFrame,
+    *,
+    ngram_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_lines, dup_line_frac, total_grams, top_ngram_frac).
+
+    ``dup_line_frac``: fraction of non-blank lines that are repeats of
+    another line in the same document (1 − distinct/total) — computed
+    entirely inside one codegen'd expression, no explode.
+    ``top_ngram_frac``: fraction of the document's n-gram occurrences
+    claimed by its single most frequent n-gram (Gopher-style "top 2-gram
+    mass"). This one needs per-gram multiplicities, so it is an explode
+    + groupBy(doc, gram) + groupBy(doc) — both doc-keyed, both
+    map-side-combinable, linear in corpus size.
+    Fractions are rounded to 8 dp (float-portable vs the DuckDB twin)."""
+    lines = _lines_expr(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.greatest(F.size(lines), F.lit(1)),
+            8,
+        ).alias("dup_line_frac"),
+    )
+    per_gram = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_grams_all(F.col(text_col), ngram_n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gram_agg = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_grams"), F.max("cnt").alias("max_cnt")
+    )
+    return (
+        base.join(gram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("total_grams"), F.lit(0)).alias("total_grams"),
+            F.round(
+                F.coalesce(
+                    F.col("max_cnt") / F.col("total_grams").cast("double"), F.lit(0.0)
+                ),
+                8,
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
+def source_cap(
+    documents: DataFrame,
+    n_per_source: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep the ``n_per_source`` best-quality documents per source →
+    (doc_id, source, score, rank). Order: quality score (already rounded
+    to 6 dp inside quality_score_expr — the cross-engine-stable key)
+    descending, doc_id ascending as the deterministic tiebreak.
+
+    Two-stage salted top-N: a naive window over ``source`` sorts every
+    document of a hot domain in ONE task; here stage 1 ranks inside
+    (source, hash(id) % salt_buckets) and keeps only candidates that can
+    still make the global top-N (rank ≤ N per bucket ⇒ ≤ salt_buckets·N
+    survivors per source), stage 2 re-ranks the survivors. The candidate
+    set provably contains the true top-N (any row outside it is beaten
+    by ≥ N rows in its own bucket alone)."""
+    if n_per_source <= 0:
+        raise ValueError(f"source_cap: n_per_source must be positive, got {n_per_source}")
+    scored = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        quality_score_expr(F.col(text_col)).alias("score"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)).alias(
+            "_salt"
+        ),
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w1 = W.partitionBy("source", "_salt").orderBy(*order)
+    candidates = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n_per_source)
+        .drop("_r1", "_salt")
+    )
+    w2 = W.partitionBy("source").orderBy(*order)
+    return (
+        candidates.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n_per_source)
+        .select("doc_id", "source", "score", "rank")
+    )
+
+
+def contamination_flags(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_hit_shingles): corpus documents sharing ≥1 word
+    k-gram with ANY benchmark document, with the count of distinct
+    shared k-grams — the standard eval-set decontamination pass
+    (GPT-3 appendix C / PaLM style, word-level n-gram collision).
+
+    The benchmark shingle set is deduped and BROADCAST (benchmarks are
+    small by definition); the corpus side streams through a broadcast
+    hash join — the 100 TB side is never shuffled."""
+    from .dedup import shingles
+
+    bench_sh = (
+        shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )

@@ -1,0 +1,166 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool: it is seed-and-partitioning
+dependent, so re-running the pipeline (or resuming half of it) yields a
+DIFFERENT sample. Production corpus pipelines sample by CONTENT HASH —
+a row is in the sample iff hash(key) lands under the rate threshold —
+which is reproducible across runs, engines, partitionings, and cluster
+sizes, and composes (a 1% sample is a subset of the 10% sample under the
+same salt). The hash here is MD5 (native and bit-identical in both Spark
+and DuckDB; the poly fingerprint family lacks avalanche on short keys —
+see _sample_bucket), so every sampling operator is oracle-checkable end
+to end.
+
+``pack_documents`` is GPT-style sequence packing: concatenate documents
+in a global deterministic order and chop every ``budget`` tokens; each
+document is assigned the bin where it STARTS plus its token offset within
+that bin. The global running token count is computed with the standard
+distributed two-level prefix scan (per-partition window cumsum + a
+P-row collect of partition totals broadcast back as offsets) — NOT a
+single unpartitioned window, which would funnel the corpus through one
+task. Output values are partition-count-invariant (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_expr
+
+SAMPLE_DENOM = 1_000_000
+
+
+def _sample_bucket(key: Column, salt: str) -> Column:
+    """Portable-hash sample bucket in [0, SAMPLE_DENOM).
+
+    Uses MD5 (identical hex in Spark and DuckDB), NOT the repo's poly
+    fingerprint family: threshold sampling needs AVALANCHE — under the
+    31-ary polynomial the hash of a short key is a small un-wrapped
+    polynomial in its characters, so bucket(key) is near-linear in key
+    and `bucket < thr` selects contiguous id ranges (and changing the
+    salt merely shifts the whole range). MD5's first 12 hex digits →
+    48-bit int → mod 1e6 gives uniform, salt-decorrelated buckets and is
+    exactly what production corpus pipelines do (CCNet-style hash
+    sampling). Engine-portable: F.conv(hex,16,10) ≡ DuckDB
+    CAST('0x'||hex AS BIGINT)."""
+    s = F.concat(F.lit(salt), F.lit(":"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long") % F.lit(
+        SAMPLE_DENOM
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``rate`` sample: keep rows with
+    bucket(key, salt) < floor(rate · 1e6). Same rows on every run /
+    engine / partitioning; nested samples for the same salt."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"hash_sample: rate must be in [0, 1], got {rate}")
+    thr = int(rate * SAMPLE_DENOM)
+    return df.where(_sample_bucket(F.col(key_col), salt) < F.lit(thr))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 50% of 'en' docs,
+    5% of everything else (the standard corpus language-rebalancing
+    move). ``rates`` maps stratum value → rate; unlisted strata get
+    ``default_rate``. The threshold is a broadcast-sized CASE expression
+    (|rates| is human-scale), the filter is one codegen'd predicate —
+    zero joins, zero shuffles."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"stratified_hash_sample: rate for {v!r} out of [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("stratified_hash_sample: default_rate out of [0, 1]")
+    thr: Column = F.lit(int(default_rate * SAMPLE_DENOM))
+    for v in sorted(rates):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(v), F.lit(int(rates[v] * SAMPLE_DENOM))
+        ).otherwise(thr)
+    return df.where(_sample_bucket(F.col(key_col), salt) < thr)
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing → (doc_id, n_tok, bin_id, offset_in_bin,
+    spans_boundary): documents concatenated in ``id_col`` order and chopped
+    every ``budget`` tokens. bin_id is the chunk where the document's
+    first token lands; spans_boundary marks documents split across chunks.
+
+    Two-level prefix scan: range-partition by id, window-cumsum within
+    each partition, collect the P partition totals (P rows, bounded by
+    the partition count, never by |corpus|), broadcast the exclusive
+    prefix back. Results are independent of P (partition-invariance is
+    part of the test contract)."""
+    if budget <= 0:
+        raise ValueError(f"pack_documents: budget must be positive, got {budget}")
+    spark = docs.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), token_count_expr(F.col(text_col)).alias("n_tok")
+    )
+    parted = toks.repartitionByRange(partitions, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = W.partitionBy("_pid").orderBy("doc_id")
+    # localCheckpoint (not persist): range boundaries are re-SAMPLED per
+    # execution (seed varies with the RDD id), so _pid must come from ONE
+    # materialization — a cache-evicted recompute could shift partition
+    # assignment between the totals collect and the output action and
+    # silently mis-offset every row. Checkpointing pins the computed
+    # blocks and severs the resample path entirely (hits.py precedent).
+    local = parted.withColumn(
+        "_local_end", F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).localCheckpoint(eager=True)
+
+    # P rows → exclusive prefix per partition, broadcast back
+    totals = (
+        local.groupBy("_pid").agg(F.max("_local_end").alias("_total")).collect()
+    )
+    totals.sort(key=lambda r: r._pid)
+    prefix, acc = {}, 0
+    for row in totals:
+        prefix[row._pid] = acc
+        acc += row._total
+    pre = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()], "_pid int, _prefix long"
+    )
+
+    out = (
+        local.join(F.broadcast(pre), "_pid")
+        .withColumn("_start", F.col("_prefix") + F.col("_local_end") - F.col("n_tok"))
+        .withColumn("bin_id", F.floor(F.col("_start") / budget))
+        .withColumn("offset_in_bin", F.col("_start") % budget)
+        .withColumn(
+            "spans_boundary",
+            F.when(
+                F.col("n_tok") > 0,
+                F.floor((F.col("_start") + F.col("n_tok") - 1) / budget)
+                > F.col("bin_id"),
+            ).otherwise(F.lit(False)),
+        )
+        .select("doc_id", "n_tok", "bin_id", "offset_in_bin", "spans_boundary")
+    )
+    return out

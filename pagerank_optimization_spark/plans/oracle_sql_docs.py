@@ -605,3 +605,174 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {top_n}
 """
+
+
+SAMPLE_DENOM = 1_000_000
+
+
+def _sample_bucket_sql(key_expr: str, salt: str) -> str:
+    """Twin of operators.sampling._sample_bucket — first 12 hex digits of
+    md5('salt:key') as a 48-bit int, mod 1e6 (md5, not the poly family:
+    sampling needs avalanche — see the operator's docstring)."""
+    s = f"concat('{salt}', ':', CAST({key_expr} AS VARCHAR))"
+    return f"CAST(concat('0x', substring(md5({s}), 1, 12)) AS BIGINT) % {SAMPLE_DENOM}"
+
+
+def docs_hash_sample_sql(rate: float, *, salt: str = "") -> str:
+    """Twin of operators.sampling.hash_sample on documents(doc_id)."""
+    thr = int(rate * SAMPLE_DENOM)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sample_bucket_sql('doc_id', salt)} < {thr}
+"""
+
+
+def docs_stratified_sample_sql(
+    rates: dict, *, default_rate: float = 0.0, salt: str = ""
+) -> str:
+    """Twin of operators.sampling.stratified_hash_sample on
+    documents(lang, doc_id)."""
+    whens = "\n    ".join(
+        f"WHEN lang = '{v}' THEN {int(rates[v] * SAMPLE_DENOM)}" for v in sorted(rates)
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sample_bucket_sql('doc_id', salt)} <
+  (CASE {whens} ELSE {int(default_rate * SAMPLE_DENOM)} END)
+"""
+
+
+def docs_pack_sql(budget: int) -> str:
+    """Twin of operators.sampling.pack_documents — the same global
+    token-order cumsum (here a single window; the Spark side's two-level
+    scan computes the identical prefix distributively)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({TOKS}) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS strt
+  FROM toks
+)
+SELECT doc_id, n_tok,
+       CAST(floor(strt / {budget}) AS BIGINT) AS bin_id,
+       CAST(strt % {budget} AS BIGINT) AS offset_in_bin,
+       CASE WHEN n_tok > 0
+            THEN floor((strt + n_tok - 1) / {budget}) > floor(strt / {budget})
+            ELSE FALSE END AS spans_boundary
+FROM cum
+"""
+
+
+def _grams_all_sql(n: int, src: str = "documents") -> str:
+    """Gram CTE body: ALL word n-gram occurrences of ``src`` (duplicates
+    kept — the multiset operators.quality._grams_all builds; the dedup
+    twins' DISTINCT variant collapses multiplicities)."""
+    return rf"""
+  SELECT doc_id, s AS gram
+  FROM (SELECT doc_id, {TOKS} AS toks FROM {src}) _t,
+       unnest(list_transform(
+         range(1, greatest(len(toks) - {n}, 0) + 2),
+         i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS u(s)
+  WHERE len(string_split(s, ' ')) = {n}"""
+
+
+def docs_repetition_sql(ngram_n: int = 2) -> str:
+    """doc_id, n_lines, dup_line_frac, total_grams, top_ngram_frac —
+    twin of operators.quality.repetition_stats (Gopher-style repetition
+    filters; same line normalization, same n-gram multiset)."""
+    return rf"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         round((len(ls) - len(list_distinct(ls))) * 1.0 / greatest(len(ls), 1), 8)
+           AS dup_line_frac
+  FROM lines
+),
+grams AS ({_grams_all_sql(ngram_n)}
+),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+ga AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_grams,
+              max(cnt) AS max_cnt
+       FROM pg GROUP BY 1)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+       COALESCE(ga.total_grams, 0) AS total_grams,
+       round(COALESCE(ga.max_cnt * 1.0 / ga.total_grams, 0.0), 8) AS top_ngram_frac
+FROM base b LEFT JOIN ga ON b.doc_id = ga.doc_id
+"""
+
+
+def _quality_cte() -> str:
+    """CTE chain ``qt/qr/q`` — q(doc_id, source, score) mirrors
+    functions.text.quality_score_expr term for term (same rationals as the
+    docs_lang_quality twin, so 6-dp-rounded equality is exact)."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""qt AS MATERIALIZED (
+  SELECT doc_id, source, text, {TOKS} AS toks FROM documents
+),
+qr AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> t IN ({en}))) / greatest(len(toks), 1) AS r_en,
+         length(regexp_replace(lower(text), '\s+', '', 'g'))
+           / greatest(len(toks), 1) AS wl,
+         (greatest(length(text), 1) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio
+  FROM qt
+),
+q AS (
+  SELECT doc_id, source,
+         round(0.3 * least(n_tok / 100.0, 1.0)
+             + 0.2 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.3 END)
+             + 0.3 * least(r_en * 5.0, 1.0)
+             + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0)), 6) AS score
+  FROM qr
+)"""
+
+
+def docs_source_cap_sql(n_per_source: int) -> str:
+    """doc_id, source, score, rank — twin of operators.quality.source_cap.
+    A single row_number window here; the Spark side's two-stage salted
+    top-N must produce EXACTLY this (the candidate-set containment proof
+    is the operator's contract)."""
+    return rf"""
+WITH {_quality_cte()}
+SELECT doc_id, source, score, rank FROM (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM q
+) WHERE rank <= {n_per_source}
+"""
+
+
+def docs_contamination_sql(
+    k: int = 3, bench_rate: float = 0.02, bench_salt: str = "bench"
+) -> str:
+    """doc_id, n_hit_shingles — twin of operators.quality.contamination_flags
+    where the benchmark set is hash_sample(documents, bench_rate, salt) and
+    the corpus is its complement (the driver query's split)."""
+    thr = int(bench_rate * SAMPLE_DENOM)
+    return rf"""
+WITH bucketed AS MATERIALIZED (
+  SELECT doc_id, text, {_sample_bucket_sql('doc_id', bench_salt)} AS bkt
+  FROM documents
+),
+bench_sh AS (
+  SELECT DISTINCT gram FROM ({_grams_all_sql(k, "(SELECT doc_id, text FROM bucketed WHERE bkt < %d) bsrc" % thr)})
+),
+corpus_sh AS (
+  SELECT DISTINCT doc_id, gram
+  FROM ({_grams_all_sql(k, "(SELECT doc_id, text FROM bucketed WHERE bkt >= %d) csrc" % thr)})
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+FROM corpus_sh c JOIN bench_sh b USING (gram)
+GROUP BY c.doc_id
+"""

@@ -1,0 +1,164 @@
+"""Differential + property tests for the corpus-quality operators
+(repetition stats, per-source caps, benchmark decontamination).
+
+Each operator runs against its DuckDB twin on sf0.01 documents; the
+salted two-stage top-N is additionally cross-checked against a naive
+single-window Spark implementation (the plan the salting replaces), and
+repetition stats get hand-built multi-line documents because the
+synthetic corpus is single-line (dup_line_frac would otherwise never
+leave zero in any automated check).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.functions.text import quality_score_expr
+from pagerank_optimization_spark.operators.quality import (
+    contamination_flags,
+    repetition_stats,
+    source_cap,
+)
+from pagerank_optimization_spark.plans import oracle_sql_docs as osql
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    return c
+
+
+def test_repetition_matches_duckdb_twin(docs, con):
+    got = sorted(
+        (r.doc_id, r.n_lines, r.dup_line_frac, r.total_grams, r.top_ngram_frac)
+        for r in repetition_stats(docs, ngram_n=2).collect()
+    )
+    want = con.sql(osql.docs_repetition_sql(ngram_n=2)).df()
+    assert got == sorted(
+        zip(
+            want["doc_id"],
+            want["n_lines"],
+            want["dup_line_frac"],
+            want["total_grams"],
+            want["top_ngram_frac"],
+        )
+    )
+
+
+def test_repetition_handcrafted_lines(spark):
+    rows = [
+        (1, "aa bb\naa bb\ncc dd\n\n  \n"),  # 3 nonblank lines, 1 dup
+        (2, "xx yy zz"),  # single line, no dup
+        (3, ""),  # empty text
+        (4, "w\nw\nw\nw"),  # all identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df, ngram_n=2).collect()}
+    assert out[1].n_lines == 3 and out[1].dup_line_frac == round(1 / 3, 8)
+    assert out[2].n_lines == 1 and out[2].dup_line_frac == 0.0
+    assert out[3].n_lines == 0 and out[3].dup_line_frac == 0.0
+    assert out[3].total_grams == 0 and out[3].top_ngram_frac == 0.0
+    assert out[4].dup_line_frac == 0.75
+    # doc 4 tokens: w w w w → 2-grams 'w w' ×3 → top gram owns all of them
+    assert out[4].total_grams == 3 and out[4].top_ngram_frac == 1.0
+    # doc 1: grams = [aa bb, bb aa, aa bb, bb cc, cc dd] (lines are NOT
+    # gram boundaries under whitespace tokenization) → max 2 of 5
+    assert out[1].total_grams == 5 and out[1].top_ngram_frac == 0.4
+
+
+def test_source_cap_matches_duckdb_twin(docs, con):
+    got = sorted(
+        (r.doc_id, r.source, r.score, r.rank)
+        for r in source_cap(docs, 20).collect()
+    )
+    want = con.sql(osql.docs_source_cap_sql(20)).df()
+    assert got == sorted(
+        zip(want["doc_id"], want["source"], want["score"], want["rank"])
+    )
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 32])
+def test_source_cap_equals_naive_window(docs, buckets):
+    """The two-stage salted top-N must equal the naive single-window
+    top-N for ANY salt bucket count — the containment proof in code."""
+    naive = (
+        docs.select(
+            "doc_id", "source", quality_score_expr(F.col("text")).alias("score")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.col("score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    salted = source_cap(docs, 5, salt_buckets=buckets)
+    a = sorted(map(tuple, naive.select(*salted.columns).collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_source_cap_validation(docs):
+    with pytest.raises(ValueError):
+        source_cap(docs, 0)
+
+
+def test_contamination_matches_duckdb_twin(spark, docs, con):
+    from pagerank_optimization_spark.operators.sampling import (
+        SAMPLE_DENOM,
+        _sample_bucket,
+    )
+
+    bkt = _sample_bucket(F.col("doc_id"), "bench")
+    thr = int(0.02 * SAMPLE_DENOM)
+    got = sorted(
+        (r.doc_id, r.n_hit_shingles)
+        for r in contamination_flags(
+            docs.where(bkt >= thr), docs.where(bkt < thr), k=4
+        ).collect()
+    )
+    want = con.sql(osql.docs_contamination_sql(k=4, bench_rate=0.02)).df()
+    assert got == sorted(zip(want["doc_id"], want["n_hit_shingles"]))
+    assert len(got) > 0  # the sf0.01 corpus genuinely collides at k=4
+
+
+def test_contamination_flags_are_true_collisions(spark):
+    """Every flagged doc shares ≥1 word k-gram with some benchmark doc;
+    clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran away"),  # shares 'quick brown fox'
+            (2, "entirely unrelated words here"),  # clean
+            (3, "the quick brown fox jumps again and the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hit_shingles for r in contamination_flags(corpus, bench, k=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[1] == 1  # only 'quick brown fox'
+    # doc 3 shares: 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    # (distinct shingles per doc — multiplicity collapsed)
+    assert out[3] == 3
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, docs):
+    """The benchmark side must enter as a broadcast hash join — the
+    corpus (100 TB) side never shuffles for the semi-join."""
+    bench = docs.limit(10)
+    plan = contamination_flags(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
