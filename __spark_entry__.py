@@ -261,6 +261,16 @@ def _q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, k=CONTAM_K)
 
 
+def _q_docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus line dedup: keep-first on normalized lines,
+    boilerplate frequency cap, byte-exact document reassembly (the hash
+    check rides on text_clean matching DuckDB's reassembly exactly)."""
+    from pagerank_optimization_spark.operators.quality import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_lines(docs)
+
+
 def _q_pagerank_weighted_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-weighted PageRank: the multigraph view (interaction
     multiplicity → row-stochastic cnt/total weights,
@@ -502,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_source_cap": _q_docs_source_cap,
         "docs_contamination": _q_docs_contamination,
+        "docs_dedup_lines": _q_docs_dedup_lines,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
@@ -562,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_contamination": osql_docs.docs_contamination_sql(
             k=CONTAM_K, bench_rate=CONTAM_RATE, bench_salt="bench"
         ),
+        "docs_dedup_lines": osql_docs.docs_dedup_lines_sql(),
         "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

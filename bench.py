@@ -297,6 +297,20 @@ def main() -> None:
             lambda: source_cap(docs, 20).count(),
             n=oneshot_trials,
         )
+        from pagerank_optimization_spark.operators.quality import dedup_lines
+
+        dl_caps: dict[str, int] = {}
+
+        def _dedup_lines():
+            dl_caps.clear()
+            return dedup_lines(docs, max_line_freq=1000, counters=dl_caps).count()
+
+        timed_min("pipe_dedup_lines", _dedup_lines, n=oneshot_trials)
+        pipe["dedup_lines"] = {
+            "docs_per_sec": round(n_docs / queries["pipe_dedup_lines"]),
+            "skew_caps_fired": dict(dl_caps),
+        }
+
         _bkt = _sample_bucket(_F.col("doc_id"), "bench")
         _thr = int(0.02 * SAMPLE_DENOM)
         timed_min(

@@ -185,3 +185,81 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_shingles"))
     )
+
+
+def dedup_lines(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_freq: int = 1_000_000,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Corpus-level line dedup (CCNet/C4-style boilerplate removal) →
+    (doc_id, text_clean, n_lines_kept, n_lines_dropped).
+
+    A non-blank trimmed line survives only at its FIRST occurrence in the
+    corpus (global (doc_id, position) order); every later copy — across
+    documents or within one — is dropped. Occurrences are keyed by the
+    NORMALIZED line (lowercased, non-alphanumerics collapsed — the repo's
+    NORM convention, same as exact_dedup), so case/punctuation variants
+    of a boilerplate line collapse, while the surviving document keeps
+    its RAW line text. Keys whose corpus frequency exceeds
+    ``max_line_freq`` are boilerplate (cookie banners, nav bars) and are
+    dropped wholesale, first occurrence included — exactly the CCNet
+    move. Documents are re-assembled from their surviving lines in
+    original order (empty string if nothing survives).
+
+    Scale shape: NO skewed join anywhere. The keep-first winner of a
+    line IS its surviving occurrence, so the operator is exactly two
+    map-side-combinable aggregations — groupBy(line).agg(min(struct),
+    count) where a 10^9-copy boilerplate line reduces to ≤ P partial
+    rows before the shuffle, then a doc-keyed reassembly groupBy bounded
+    by document size. ``counters`` (optional dict) receives
+    ``boilerplate_lines`` / ``boilerplate_rows`` fire counts."""
+    if max_line_freq <= 0:
+        raise ValueError("dedup_lines: max_line_freq must be positive")
+    lines = _lines_expr(F.col(text_col))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(lines).alias("n_total")
+    )
+    occ = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).withColumn(
+        "key",
+        F.trim(F.regexp_replace(F.lower(F.col("line")), r"[^a-z0-9]+", " ")),
+    )
+    win = occ.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos", "line")).alias("w"),
+        F.count("*").alias("freq"),
+    )
+    if counters is not None:
+        hot = win.filter(F.col("freq") > max_line_freq).agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("freq"), F.lit(0)).alias("rows")
+        ).collect()[0]
+        counters["boilerplate_lines"] = int(hot["n"])
+        counters["boilerplate_rows"] = int(hot["rows"])
+    surv = win.filter(F.col("freq") <= max_line_freq).select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.pos").alias("pos"),
+        F.col("w.line").alias("line"),
+    )
+    rec = surv.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return base.join(rec, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0))).alias(
+            "n_lines_dropped"
+        ),
+    )

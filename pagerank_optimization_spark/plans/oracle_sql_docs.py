@@ -776,3 +776,44 @@ SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
 FROM corpus_sh c JOIN bench_sh b USING (gram)
 GROUP BY c.doc_id
 """
+
+
+def docs_dedup_lines_sql(max_line_freq: int = 1_000_000) -> str:
+    """doc_id, text_clean, n_lines_kept, n_lines_dropped — twin of
+    operators.quality.dedup_lines (keep-first corpus line dedup on
+    NORM-keyed lines + boilerplate frequency cap). Spark's posexplode is 0-based, this
+    range is 1-based; positions never surface, only their order does."""
+    return rf"""
+WITH ls AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lns
+  FROM documents
+),
+occ AS MATERIALIZED (
+  SELECT doc_id, s.pos AS pos, s.line AS line,
+         trim(regexp_replace(lower(s.line), '[^a-z0-9]+', ' ', 'g')) AS key
+  FROM ls, unnest(list_transform(range(1, len(lns) + 1),
+                 i -> struct_pack(pos := i, line := lns[i]))) AS u(s)
+),
+win AS (
+  SELECT key, count(*) AS freq,
+         min(struct_pack(d := doc_id, p := pos, l := line)) AS w
+  FROM occ GROUP BY key
+),
+surv AS (
+  SELECT w.d AS doc_id, w.p AS pos, w.l AS line
+  FROM win WHERE freq <= {max_line_freq}
+),
+rec AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM surv GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(rec.text_clean, '') AS text_clean,
+       COALESCE(rec.n_kept, 0) AS n_lines_kept,
+       len(b.lns) - COALESCE(rec.n_kept, 0) AS n_lines_dropped
+FROM ls b LEFT JOIN rec USING (doc_id)
+"""

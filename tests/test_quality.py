@@ -162,3 +162,58 @@ def test_contamination_plan_broadcasts_benchmark(spark, docs):
     bench = docs.limit(10)
     plan = contamination_flags(docs, bench, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_lines_matches_duckdb_twin(docs, con):
+    from pagerank_optimization_spark.operators.quality import dedup_lines
+
+    got = sorted(
+        (r.doc_id, r.text_clean, r.n_lines_kept, r.n_lines_dropped)
+        for r in dedup_lines(docs).collect()
+    )
+    want = con.sql(osql.docs_dedup_lines_sql()).df()
+    assert got == sorted(
+        zip(
+            want["doc_id"],
+            want["text_clean"],
+            want["n_lines_kept"],
+            want["n_lines_dropped"],
+        )
+    )
+
+
+def test_dedup_lines_keep_first_semantics(spark):
+    from pagerank_optimization_spark.operators.quality import dedup_lines
+
+    rows = [
+        (1, "alpha beta\nshared line\ngamma"),
+        (2, "Shared, LINE!\nunique two"),  # normalized dup of doc 1's line
+        (3, "echo\necho\nfoxtrot"),  # intra-doc dup
+        (4, "shared line"),  # whole doc is a dup → empty survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert out[1].text_clean == "alpha beta\nshared line\ngamma"
+    assert out[1].n_lines_dropped == 0
+    # doc 2 loses its case/punct variant of the shared line, keeps the rest
+    assert out[2].text_clean == "unique two"
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 1)
+    # intra-doc: first 'echo' survives, second dropped, order preserved
+    assert out[3].text_clean == "echo\nfoxtrot"
+    assert out[4].text_clean == "" and out[4].n_lines_kept == 0
+
+
+def test_dedup_lines_boilerplate_cap(spark):
+    from pagerank_optimization_spark.operators.quality import dedup_lines
+
+    rows = [(i, "COOKIE BANNER\nbody %d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counters = {}
+    out = {
+        r.doc_id: r
+        for r in dedup_lines(df, max_line_freq=5, counters=counters).collect()
+    }
+    # banner appears 10 > 5 times: dropped everywhere, incl. first occurrence
+    assert all("COOKIE" not in out[i].text_clean for i in range(10))
+    assert out[0].text_clean == "body 0"
+    assert counters == {"boilerplate_lines": 1, "boilerplate_rows": 10}
