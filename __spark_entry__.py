@@ -172,6 +172,24 @@ def _q_reach_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_reach(vertices, edges, r=2)
 
 
+def _q_sssp_conv_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths, 6 Bellman-Ford rounds, edge
+    cost = interaction count (integer distances — exact hash parity);
+    seeds = every conv-1* conversation entity. Delta-frontier relaxation
+    on the Spark side vs full per-round relaxation in the twin — equal by
+    construction, checked by value."""
+    from pagerank_optimization_spark.operators.graph_build import edge_multiplicities
+    from pagerank_optimization_spark.operators.sssp import sssp_distances
+
+    tr = transcripts_from_events(_events(spark, sf_dir))
+    vertices, _ = build_graph(tr)
+    wedges = edge_multiplicities(tr)
+    seeds = vertices.filter(F.col("entity").startswith("conv:conv-1"))
+    return sssp_distances(
+        vertices, wedges, seeds, weight_col="cnt", fixed_rounds=6
+    )
+
+
 def _q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 over the documents table for a fixed 3-term query —
     pure-DataFrame ranked retrieval (operators.retrieval.bm25_topk),
@@ -491,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_r4": _q_lpa_r4,
         "graph_kcore3": _q_kcore3,
         "graph_bfs_conv_r8": _q_bfs_conv_r8,
+        "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
@@ -540,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "graph_kcore3": osql.kcore_query_sql(k=3, rounds=16),
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
+        "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),

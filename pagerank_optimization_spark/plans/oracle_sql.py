@@ -504,3 +504,41 @@ n{i} AS {m}(
         f"WITH {graph_ctes(dialect)},\n{body}\n"
         f"SELECT v AS entity, count(*) AS reach FROM n{r} GROUP BY v"
     )
+
+
+def sssp_query_sql(
+    seed_like: str = "conv:conv-1%", rounds: int = 6, dialect: str = "duckdb"
+) -> str:
+    """Unrolled multi-source weighted shortest paths over the
+    count-weighted multigraph (edge cost = interaction count cnt —
+    integer, so distances hash exactly) — mirrors
+    operators.sssp.sssp_distances(fixed_rounds=rounds) round-for-round:
+    each round is one full Bellman-Ford relaxation, which the Spark
+    side's delta-frontier relaxation provably reproduces per-round."""
+    m = _mat(dialect)
+    steps = [
+        f"""sd0 AS {m}(
+  SELECT entity, CAST(0 AS BIGINT) AS dist FROM vertices
+  WHERE entity LIKE '{seed_like}'
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+sr{i} AS {m}(
+  SELECT e.dst AS entity, min(d.dist + e.cnt) AS nd
+  FROM multi_edges e JOIN sd{p} d ON e.src = d.entity
+  GROUP BY e.dst
+),
+sd{i} AS {m}(
+  SELECT entity, min(dist) AS dist FROM (
+    SELECT entity, dist FROM sd{p}
+    UNION ALL
+    SELECT entity, nd AS dist FROM sr{i}
+  ) u GROUP BY entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{weighted_graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, dist FROM sd{rounds}"
+    )

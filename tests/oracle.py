@@ -247,3 +247,26 @@ def hits_dense(
         s = h.sum()
         h = h / s if s > 0 else h * 0.0
     return {v: (float(a[idx[v]]), float(h[idx[v]])) for v in vertices}
+
+
+def sssp_distances(
+    edge_w: dict[tuple[str, str], int],
+    seeds: set[str],
+    rounds: int | None = None,
+) -> dict[str, int]:
+    """Multi-source weighted shortest paths — full Bellman-Ford, one
+    relaxation sweep per round (the unrolled-SQL semantics); vertices
+    unreached (or whose best path needs more than ``rounds`` edges) are
+    absent. Converges when a sweep changes nothing."""
+    dist = {v: 0 for v in seeds}
+    r = 0
+    while rounds is None or r < rounds:
+        r += 1
+        nxt = dict(dist)
+        for (s, d), w in edge_w.items():
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
