@@ -217,3 +217,25 @@ def test_dedup_lines_boilerplate_cap(spark):
     assert all("COOKIE" not in out[i].text_clean for i in range(10))
     assert out[0].text_clean == "body 0"
     assert counters == {"boilerplate_lines": 1, "boilerplate_rows": 10}
+
+
+def test_dedup_lines_plan_combines_before_shuffle(docs):
+    """The keep-first winner agg must partially combine map-side (a
+    billion-copy boilerplate line reduces to <=P rows pre-shuffle). Spark
+    plans struct-min as SortAggregate — the partial_min phase before the
+    exchange is the property the 100 TB claim rides on."""
+    from pagerank_optimization_spark.operators.quality import dedup_lines
+
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min(struct(doc_id" in plan
+
+
+def test_source_cap_plan_salts_stage_one(docs):
+    """Stage 1's window must partition by (source, salt), never by source
+    alone — otherwise a hot domain funnels through one task and the
+    two-stage construction is decorative."""
+    from pagerank_optimization_spark.operators.quality import source_cap
+
+    plan = source_cap(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower() or "Window" in l]
+    assert any("_salt" in l for l in specs), plan[:2000]
