@@ -297,6 +297,23 @@ def main() -> None:
             lambda: source_cap(docs, 20).count(),
             n=oneshot_trials,
         )
+        from pagerank_optimization_spark.operators.sampling import (
+            hash_sample,
+            pack_documents,
+        )
+
+        timed_min(
+            "pipe_hash_sample",
+            lambda: hash_sample(docs, 0.1, "doc_id").count(),
+            n=oneshot_trials,
+        )
+        timed_min(
+            "pipe_pack_b512",
+            lambda: pack_documents(docs, 512).count(),
+            n=oneshot_trials,
+        )
+        pipe["pack_docs_per_sec"] = round(n_docs / queries["pipe_pack_b512"])
+
         from pagerank_optimization_spark.operators.quality import dedup_lines
 
         dl_caps: dict[str, int] = {}
