@@ -236,6 +236,58 @@ def _q_docs_pack_b512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs, 512)
 
 
+def _q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary stats: top-50 tokens by collection
+    frequency with document frequency — map-side-combinable aggs only,
+    TakeOrdered top-N (never a global sort), deterministic
+    (cf DESC, token ASC) tie-break on both sides."""
+    from pagerank_optimization_spark.operators.vocab import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, 50)
+
+
+def _q_docs_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each doc kept with
+    probability = its quality score, decided by the portable MD5 bucket
+    (reproducible across runs/engines/partitionings — the curation move
+    that replaces a hard quality threshold with proportional keep)."""
+    from pagerank_optimization_spark.functions.text import quality_score_expr
+    from pagerank_optimization_spark.operators.sampling import weighted_hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("score")
+    )
+    return weighted_hash_sample(scored, F.col("score"), "doc_id", salt="q")
+
+
+def _q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with per-rule counts. The synthesized corpus carries no
+    PII by construction, so the query first plants a deterministic,
+    SQL-expressible PII suffix (email + IP + SSN + phone) on every 7th
+    doc — the redaction rules are exercised on real matches and the
+    twin compares the exact redacted STRINGS, not just counts."""
+    from pagerank_optimization_spark.operators.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 ssn 123-45-6789"),
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, pii).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 def _q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition stats per document: duplicate-line
     fraction (pure codegen'd array expression) and top-2-gram mass
@@ -529,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
+        "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_quality_sample": _q_docs_quality_sample,
+        "docs_pii_redact": _q_docs_pii_redact,
         "docs_source_cap": _q_docs_source_cap,
         "docs_contamination": _q_docs_contamination,
         "docs_dedup_lines": _q_docs_dedup_lines,
@@ -589,6 +644,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_pack_b512": osql_docs.docs_pack_sql(512),
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
+        "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
+        "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
+        "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),
         "docs_source_cap": osql_docs.docs_source_cap_sql(20),
         "docs_contamination": osql_docs.docs_contamination_sql(
             k=CONTAM_K, bench_rate=CONTAM_RATE, bench_salt="bench"

@@ -95,6 +95,29 @@ def stratified_hash_sample(
     return df.where(_sample_bucket(F.col(key_col), salt) < thr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row importance sampling, deterministic by content hash: keep a
+    row iff bucket(key, salt) < clamp(weight, 0, 1)·1e6 — i.e. each row's
+    keep probability IS its weight (quality score, language prior,
+    upsampling factor ≤ 1), but the coin flip is the same reproducible
+    MD5 bucket as hash_sample, so the sample is stable across runs /
+    engines / partitionings and nests across salts. This is the standard
+    quality-weighted resampling move in corpus curation (keep good
+    documents with high probability instead of a hard threshold) — a
+    pure codegen'd predicate, zero joins, zero shuffles, and the filter
+    sits directly on the scan."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.where(
+        _sample_bucket(F.col(key_col), salt) < w * F.lit(float(SAMPLE_DENOM))
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int,

@@ -817,3 +817,71 @@ SELECT b.doc_id,
        len(b.lns) - COALESCE(rec.n_kept, 0) AS n_lines_dropped
 FROM ls b LEFT JOIN rec USING (doc_id)
 """
+
+
+def docs_vocab_topk_sql(n: int) -> str:
+    """token, cf, df, rank — twin of operators.vocab.vocab_topk. Same
+    tokenization (TOKS), same total order (cf DESC, token ASC) in the
+    limit and the rank, so the top-N cut is deterministic on both sides."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+vs AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+)
+SELECT token, cf, df,
+       CAST(row_number() OVER (ORDER BY cf DESC, token ASC) AS INT) AS rank
+FROM vs ORDER BY cf DESC, token ASC LIMIT {n}
+"""
+
+
+def docs_quality_sample_sql(*, salt: str = "q") -> str:
+    """doc_id, score — twin of operators.sampling.weighted_hash_sample
+    with the quality score as the per-row keep probability: the same MD5
+    bucket as hash_sample compared against score·1e6 (score mirrors
+    quality_score_expr term for term via _quality_cte; both engines
+    multiply the identical double by the identical constant, so the
+    membership predicate is bit-equal)."""
+    return rf"""
+WITH {_quality_cte()}
+SELECT doc_id, score FROM q
+WHERE {_sample_bucket_sql('doc_id', salt)} < score * {SAMPLE_DENOM}
+"""
+
+
+def docs_pii_redact_sql(*, inject_every: int = 7) -> str:
+    """doc_id, n_email, n_ipv4, n_ssn, n_phone, text_redacted — twin of
+    operators.pii.redact_pii over the PII-injected corpus (the synthesized
+    documents carry no PII by construction, so the driver query plants a
+    deterministic, SQL-expressible PII suffix on every ``inject_every``-th
+    doc before redacting — the rules are exercised on real matches, not
+    vacuous zeros). Built from operators.pii.PII_RULES so the twin cannot
+    drift from the operator; the rule regexes are written in the common
+    Java-regex/RE2 subset (see pii.py docstring), making the redacted
+    STRINGS comparable, not just the counts."""
+    from pagerank_optimization_spark.operators.pii import PII_RULES
+
+    inj = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.1 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-1234 ssn 123-45-6789'"
+    )
+    ctes = [
+        f"r0 AS (SELECT doc_id, CASE WHEN doc_id % {inject_every} = 0"
+        f" THEN {inj} ELSE text END AS t0 FROM documents)"
+    ]
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        carried = "".join(f"n_{n}, " for n, _, _ in PII_RULES[:i])
+        ctes.append(
+            f"r{i + 1} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS INT) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} FROM r{i})"
+        )
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    chain = ",\n".join(ctes)
+    k = len(PII_RULES)
+    return f"WITH {chain}\nSELECT doc_id, {names}, t{k} AS text_redacted FROM r{k}"

@@ -1,0 +1,136 @@
+"""Differential + property tests for the vocabulary-stats, PII-redaction,
+and weighted-sampling operators.
+
+vocab_topk is checked against a pure-python recount (collections.Counter
+over the same tokenization); redact_pii against hand-crafted strings with
+known match sets plus an idempotency property (a redacted corpus passes a
+second redaction unchanged); weighted_hash_sample against the membership
+laws that make it a sampling primitive (weight-1 keeps all, weight-0
+none, monotone nesting in the weight under a fixed salt).
+"""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.operators.pii import PII_RULES, redact_pii
+from pagerank_optimization_spark.operators.sampling import weighted_hash_sample
+from pagerank_optimization_spark.operators.vocab import vocab_topk
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+# --- vocab_topk ---------------------------------------------------------
+
+
+def test_vocab_topk_matches_python_recount(docs):
+    rows = docs.select("doc_id", "text").collect()
+    cf, df_ = Counter(), Counter()
+    for r in rows:
+        toks = [t for t in re.split(r"\s+", r.text.lower()) if t]
+        cf.update(toks)
+        df_.update(set(toks))
+    want = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = vocab_topk(docs, 20).orderBy("rank").collect()
+    assert [(g.token, g.cf) for g in got] == want
+    for i, g in enumerate(got):
+        assert g.rank == i + 1
+        assert g.df == df_[g.token]
+
+
+def test_vocab_topk_tiebreak_is_token_asc(spark):
+    d = spark.createDataFrame(
+        [(0, "b a"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    got = vocab_topk(d, 3).orderBy("rank").collect()
+    # a and b tie at cf=2 → token ASC breaks it; c (cf=1) last
+    assert [(g.token, g.cf, g.df, g.rank) for g in got] == [
+        ("a", 2, 2, 1),
+        ("b", 2, 2, 2),
+        ("c", 1, 1, 3),
+    ]
+
+
+# --- redact_pii ---------------------------------------------------------
+
+
+def test_redact_pii_known_matches(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org or at root@h.io today"),
+            (1, "server 192.168.0.1 and 10.0.0.255 up"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 alt 555-1234-0000"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(d).collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_ssn, got[0].n_phone) == (2, 0, 0, 0)
+    assert got[0].text_redacted == "mail me at <EMAIL> or at <EMAIL> today"
+    assert (got[1].n_email, got[1].n_ipv4) == (0, 2)
+    assert got[1].text_redacted == "server <IP> and <IP> up"
+    assert (got[2].n_ssn, got[2].n_phone) == (1, 2)
+    assert got[2].text_redacted == "ssn <SSN> phone <PHONE> alt <PHONE>"
+    assert got[3].text_redacted == got[3].text_redacted == d.collect()[3].text
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_ssn, got[3].n_phone) == (
+        0,
+        0,
+        0,
+        0,
+    )
+
+
+def test_redact_pii_idempotent(spark):
+    d = spark.createDataFrame(
+        [(0, "a@b.co 1.2.3.4 123-45-6789 555-123-4567")],
+        "doc_id long, text string",
+    )
+    once = redact_pii(d).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    twice = redact_pii(once).collect()[0]
+    assert twice.text_redacted == "<EMAIL> <IP> <SSN> <PHONE>"
+    assert (twice.n_email, twice.n_ipv4, twice.n_ssn, twice.n_phone) == (0, 0, 0, 0)
+
+
+def test_pii_rules_ssn_phone_disjoint():
+    ssn_pat = dict((n, p) for n, p, _ in PII_RULES)["ssn"]
+    phone_pat = dict((n, p) for n, p, _ in PII_RULES)["phone"]
+    assert re.search(ssn_pat, "123-45-6789")
+    assert not re.search(phone_pat, "123-45-6789")
+    assert re.search(phone_pat, "555-123-4567")
+    assert not re.search(ssn_pat, "555-123-4567")
+
+
+# --- weighted_hash_sample -----------------------------------------------
+
+
+def test_weighted_sample_membership_laws(docs):
+    n = docs.count()
+    assert weighted_hash_sample(docs, F.lit(1.0), "doc_id").count() == n
+    assert weighted_hash_sample(docs, F.lit(0.0), "doc_id").count() == 0
+    lo = set(
+        r.doc_id
+        for r in weighted_hash_sample(docs, F.lit(0.2), "doc_id").collect()
+    )
+    hi = set(
+        r.doc_id
+        for r in weighted_hash_sample(docs, F.lit(0.6), "doc_id").collect()
+    )
+    assert lo < hi  # nesting: same salt, higher weight ⊇ lower weight
+    # out-of-range weights clamp instead of misbehaving
+    assert weighted_hash_sample(docs, F.lit(7.0), "doc_id").count() == n
+    assert weighted_hash_sample(docs, F.lit(-3.0), "doc_id").count() == 0
+
+
+def test_weighted_sample_rate_tracks_weight(docs):
+    n = docs.count()
+    kept = weighted_hash_sample(docs, F.lit(0.5), "doc_id").count()
+    assert abs(kept / n - 0.5) < 0.1
