@@ -190,6 +190,17 @@ def _q_sssp_conv_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_walks_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks (DeepWalk corpus
+    generation), length 4, one walk per vertex — the unrolled twin
+    replays every step's MD5 neighbor choice, so the hash check covers
+    the full walk corpus. Walks stop at dangling (tool) vertices."""
+    from pagerank_optimization_spark.operators.walks import random_walks
+
+    vertices, edges = _graph(spark, sf_dir)
+    return random_walks(vertices, edges, 4)
+
+
 def _q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 over the documents table for a fixed 3-term query —
     pure-DataFrame ranked retrieval (operators.retrieval.bm25_topk),
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_conv_r8": _q_bfs_conv_r8,
         "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
+        "graph_walks_l4": _q_graph_walks_l4,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -616,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
+        "graph_walks_l4": osql.walks_query_sql(length=4),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),

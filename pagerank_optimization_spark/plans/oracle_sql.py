@@ -542,3 +542,36 @@ sd{i} AS {m}(
         f"WITH {graph_ctes(dialect)},\n{weighted_graph_ctes(dialect)},\n{body}\n"
         f"SELECT entity, dist FROM sd{rounds}"
     )
+
+
+def walks_query_sql(length: int = 4, salt: str = "walk", dialect: str = "duckdb") -> str:
+    """Unrolled twin of operators.walks.random_walks(walks_per_vertex=1):
+    adjacency = per-src sorted neighbor list; step t of walk w moves to
+    nbrs[ H48('{salt}:w:t') mod deg ] (H48 = first 12 MD5 hex digits —
+    identical to the Spark side's F.conv construction); walks stop at
+    dangling vertices (inner join drops them). DuckDB list functions —
+    duckdb dialect only."""
+    m = _mat(dialect)
+
+    def h48(t: int) -> str:
+        s = f"concat('{salt}', ':', walk_id, ':', '{t}')"
+        return f"CAST(concat('0x', substring(md5({s}), 1, 12)) AS BIGINT)"
+
+    steps = [
+        f"adj AS {m}(SELECT src, list_sort(list(dst)) AS nbrs, "
+        "count(*) AS deg FROM edges GROUP BY src)",
+        f"w0 AS {m}(SELECT entity || '#0' AS walk_id, entity AS cur FROM vertices)",
+    ]
+    for t in range(1, length + 1):
+        steps.append(
+            f"""w{t} AS {m}(
+  SELECT walk_id, nbrs[(({h48(t)}) % deg) + 1] AS cur
+  FROM w{t - 1} JOIN adj ON w{t - 1}.cur = adj.src
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS step, cur AS entity FROM w{t}"
+        for t in range(0, length + 1)
+    )
+    body = ",\n".join(steps)
+    return f"WITH {graph_ctes(dialect)},\n{body}\n{union}"
