@@ -258,6 +258,16 @@ def _q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, 50)
 
 
+def _q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counts: top-40 adjacent char pairs
+    weighted by word frequency — the corpus pass of Sennrich-style BPE,
+    collapsed to the word-frequency table before any char-level work."""
+    from pagerank_optimization_spark.operators.vocab import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, 40)
+
+
 def _q_docs_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: each doc kept with
     probability = its quality score, decided by the portable MD5 bucket
@@ -594,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
         "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_source_cap": _q_docs_source_cap,
@@ -658,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_b512": osql_docs.docs_pack_sql(512),
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
+        "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),
         "docs_source_cap": osql_docs.docs_source_cap_sql(20),

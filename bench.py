@@ -152,6 +152,14 @@ def main() -> None:
     timed_min("label_propagation_r5", lambda: label_propagation(vertices, edges, rounds=5, partitions=cpus).count(), n=oneshot_trials)
     timed_min("triangle_count", lambda: triangle_count(edges).collect(), n=oneshot_trials)
 
+    from pagerank_optimization_spark.operators.walks import random_walks
+
+    timed_min(
+        "graph_walks_l4",
+        lambda: random_walks(vertices, edges, 4, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     # --- synthesized large graph (compute-bound regime) ---------------------
     def _synth():
         tr = synthesize_transcripts(spark, synth_conv, seed=42)
@@ -313,6 +321,43 @@ def main() -> None:
             n=oneshot_trials,
         )
         pipe["pack_docs_per_sec"] = round(n_docs / queries["pipe_pack_b512"])
+
+        from pagerank_optimization_spark.functions.text import quality_score_expr
+        from pagerank_optimization_spark.operators.pii import redact_pii
+        from pagerank_optimization_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+        from pagerank_optimization_spark.operators.vocab import vocab_topk
+
+        timed_min(
+            "pipe_vocab_topk",
+            lambda: vocab_topk(docs, 50).count(),
+            n=oneshot_trials,
+        )
+        pipe["vocab_docs_per_sec"] = round(n_docs / queries["pipe_vocab_topk"])
+        from pagerank_optimization_spark.operators.vocab import bpe_pair_counts
+
+        timed_min(
+            "pipe_bpe_pairs",
+            lambda: bpe_pair_counts(docs, 40).count(),
+            n=oneshot_trials,
+        )
+        pipe["bpe_docs_per_sec"] = round(n_docs / queries["pipe_bpe_pairs"])
+        timed_min(
+            "pipe_quality_sample",
+            lambda: weighted_hash_sample(
+                docs.select("doc_id", quality_score_expr(_F.col("text")).alias("w")),
+                _F.col("w"),
+                "doc_id",
+            ).count(),
+            n=oneshot_trials,
+        )
+        timed_min(
+            "pipe_pii_redact",
+            lambda: redact_pii(docs).count(),
+            n=oneshot_trials,
+        )
+        pipe["pii_docs_per_sec"] = round(n_docs / queries["pipe_pii_redact"])
 
         from pagerank_optimization_spark.operators.quality import dedup_lines
 

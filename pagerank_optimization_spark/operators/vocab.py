@@ -1,5 +1,6 @@
 """Vocabulary statistics for tokenizer training: corpus-wide token
-collection frequency (cf) and document frequency (df), top-N.
+collection frequency (cf) and document frequency (df) top-N, and BPE
+merge-candidate pair counts.
 
 Training a tokenizer (BPE/unigram) over a 100 TB corpus starts from
 exactly this table — the token histogram — and corpus audits read the
@@ -61,4 +62,66 @@ def vocab_topk(
     # construction, never the full vocabulary
     return top.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("cf"), F.asc("token")))
+    )
+
+
+def bpe_pair_counts(
+    documents: DataFrame,
+    n: int,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ DataFrame(left, right, pair_count, rank): the ``n`` most frequent
+    ADJACENT CHARACTER PAIRS inside words, weighted by word frequency —
+    the first-iteration merge candidates of BPE tokenizer training
+    (Sennrich et al. 2016: the training loop repeatedly merges the
+    current most-frequent symbol pair; this operator is that loop's
+    counting step at iteration 0, the one that must scan the corpus).
+
+    The standard BPE trick makes this corpus-scale-friendly: aggregate
+    the corpus to the WORD-FREQUENCY table first (map-side-combinable
+    groupBy — the only pass over the 100 TB side), then explode character
+    pairs over the distinct-word table only, multiplying each pair by the
+    word's corpus frequency. The expensive char-level explosion runs over
+    |vocab| rows, not |corpus| — at web scale the vocabulary is millions
+    of words while the corpus is trillions of tokens.
+
+    Ties broken (pair_count DESC, left ASC, right ASC); top-N via
+    TakeOrdered; rank windowed over the n survivors only."""
+    if n <= 0:
+        raise ValueError(f"bpe_pair_counts: n must be positive, got {n}")
+    words = (
+        documents.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    # guard: sequence(1, 0) DESCENDS in Spark, so 1-char words need an
+    # explicit empty pair list, not greatest()-clamping
+    idx = F.when(
+        F.size(chars) >= 2, F.sequence(F.lit(1), F.size(chars) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(chars, i).alias("left"),
+                    F.element_at(chars, (i + 1).cast("int")).alias("right"),
+                ),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy(
+        F.col("pair.left").alias("left"), F.col("pair.right").alias("right")
+    ).agg(F.sum("freq").alias("pair_count"))
+    top = counts.orderBy(
+        F.desc("pair_count"), F.asc("left"), F.asc("right")
+    ).limit(n)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        ),
     )

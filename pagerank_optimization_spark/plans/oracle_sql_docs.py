@@ -885,3 +885,35 @@ def docs_pii_redact_sql(*, inject_every: int = 7) -> str:
     chain = ",\n".join(ctes)
     k = len(PII_RULES)
     return f"WITH {chain}\nSELECT doc_id, {names}, t{k} AS text_redacted FROM r{k}"
+
+
+def docs_bpe_pairs_sql(n: int) -> str:
+    """left, right, pair_count, rank — twin of
+    operators.vocab.bpe_pair_counts: same tokenization, same
+    word-frequency pre-aggregation, same in-word adjacent char pairs
+    (DuckDB range(1, len) is end-exclusive so 1-char words contribute
+    nothing, mirroring the Spark side's explicit guard), same
+    (pair_count DESC, left, right) total order in the cut and the rank."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS word FROM documents
+),
+words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word
+),
+cs AS (
+  SELECT freq, list_filter(string_split(word, ''), c -> c <> '') AS c FROM words
+),
+pairs AS (
+  SELECT freq, u.p.l AS "left", u.p.r AS "right"
+  FROM cs, unnest(list_transform(range(1, len(c)),
+       i -> struct_pack(l := c[i], r := c[i + 1]))) AS u(p)
+),
+agg AS (
+  SELECT "left", "right", CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY "left", "right"
+)
+SELECT "left", "right", pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, "left" ASC, "right" ASC) AS INT) AS rank
+FROM agg ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT {n}
+"""

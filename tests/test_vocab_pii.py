@@ -134,3 +134,32 @@ def test_weighted_sample_rate_tracks_weight(docs):
     n = docs.count()
     kept = weighted_hash_sample(docs, F.lit(0.5), "doc_id").count()
     assert abs(kept / n - 0.5) < 0.1
+
+
+# --- bpe_pair_counts ------------------------------------------------------
+
+
+def test_bpe_pairs_match_python_recount(docs):
+    from pagerank_optimization_spark.operators.vocab import bpe_pair_counts
+
+    rows = docs.select("text").collect()
+    words = Counter()
+    for r in rows:
+        words.update(t for t in re.split(r"\s+", r.text.lower()) if t)
+    pairs = Counter()
+    for w, f in words.items():
+        for a, b in zip(w, w[1:]):
+            pairs[(a, b)] += f
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = bpe_pair_counts(docs, 15).orderBy("rank").collect()
+    assert [((g.left, g.right), g.pair_count) for g in got] == want
+
+
+def test_bpe_pairs_single_char_words_contribute_nothing(spark):
+    from pagerank_optimization_spark.operators.vocab import bpe_pair_counts
+
+    d = spark.createDataFrame(
+        [(0, "a b c ab")], "doc_id long, text string"
+    )
+    got = bpe_pair_counts(d, 10).collect()
+    assert [(g.left, g.right, g.pair_count) for g in got] == [("a", "b", 1)]
