@@ -190,6 +190,31 @@ def _q_sssp_conv_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural near-duplicates: vertex pairs whose out-neighbor sets
+    have exact Jaccard ≥ 0.8 — templated conversations / cloned agents.
+    Hot neighbors above the frequency cap are dropped from the sets (the
+    graph analog of the boilerplate-shingle guard)."""
+    from pagerank_optimization_spark.operators.structure import (
+        neighbor_jaccard_pairs,
+    )
+
+    _, edges = _graph(spark, sf_dir)
+    return neighbor_jaccard_pairs(edges, threshold=0.8, max_neighbor_freq=1000)
+
+
+def _q_lpa_modularity_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (Newman–Leicht) modularity of the 4-round LPA labeling —
+    the community-quality metric computed entirely as joins + aggregates
+    (single-row result; twin reuses the unrolled LPA CTE chain)."""
+    from pagerank_optimization_spark.operators.community import modularity
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+
+    vertices, edges = _graph(spark, sf_dir)
+    labels = label_propagation(vertices, edges, rounds=4)
+    return modularity(edges, labels)
+
+
 def _q_graph_walks_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-seeded random walks (DeepWalk corpus
     generation), length 4, one walk per vertex — the unrolled twin
@@ -585,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
         "graph_walks_l4": _q_graph_walks_l4,
+        "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
+        "graph_neighbor_jaccard": _q_neighbor_jaccard,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -640,6 +667,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "graph_walks_l4": osql.walks_query_sql(length=4),
+        "graph_lpa_modularity_r4": osql.lpa_modularity_query_sql(rounds=4),
+        "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
+            threshold=0.8, max_neighbor_freq=1000
+        ),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),

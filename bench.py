@@ -160,6 +160,34 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.community import modularity
+
+    timed_min(
+        "graph_lpa_modularity_r4",
+        lambda: modularity(
+            edges, label_propagation(vertices, edges, rounds=4, partitions=cpus)
+        ).count(),
+        n=oneshot_trials,
+    )
+
+    from pagerank_optimization_spark.operators.structure import (
+        neighbor_jaccard_pairs,
+    )
+
+    nj_caps: dict = {}
+
+    def _neighbor_jaccard():
+        nj_caps.clear()
+        return neighbor_jaccard_pairs(
+            edges, threshold=0.8, max_neighbor_freq=1000, counters=nj_caps
+        ).count()
+
+    n_nj = timed_min("graph_neighbor_jaccard", _neighbor_jaccard, n=oneshot_trials)
+    extra["neighbor_jaccard"] = {
+        "pairs_emitted": n_nj,
+        "skew_caps_fired": dict(nj_caps),
+    }
+
     # --- synthesized large graph (compute-bound regime) ---------------------
     def _synth():
         tr = synthesize_transcripts(spark, synth_conv, seed=42)

@@ -17,8 +17,9 @@ Stage ladder (each stage linear / bucketed — no all-pairs joins):
 3. repetition filter quality.repetition_stats thresholds (Gopher-style)
 4. decontamination   quality.contamination_flags vs --benchmark (if given)
 5. source cap        quality.source_cap keeps the N best per source
-6. sampling          sampling.hash_sample (deterministic, resumable)
-7. packing           sampling.pack_documents at --pack-budget
+6. PII redaction     pii.redact_pii (--redact-pii; rewrites text in place)
+7. sampling          sampling.hash_sample (deterministic, resumable)
+8. packing           sampling.pack_documents at --pack-budget
 
 Writes the curated docs parquet plus a .stats.json with per-stage
 in/out counts and skew-cap fire counters — the numbers an operator of a
@@ -50,6 +51,8 @@ def main(argv=None) -> int:
     ap.add_argument("--max-dup-line-frac", type=float, default=0.5)
     ap.add_argument("--max-line-freq", type=int, default=1_000_000)
     ap.add_argument("--source-cap", type=int, default=None)
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/IPs/SSNs/phones from text (counts recorded)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -131,15 +134,38 @@ def main(argv=None) -> int:
         docs6 = docs5
         record("source_cap", n, skipped="not requested")
 
-    # 6. deterministic sampling
-    if args.sample_rate < 1.0:
-        docs7 = hash_sample(docs6, args.sample_rate, "doc_id", salt=args.sample_salt)
+    # 6. PII redaction (rewrites text in place; drops nothing)
+    if args.redact_pii:
+        from pagerank_optimization_spark.operators.pii import PII_RULES, redact_pii
+
+        red = redact_pii(docs6).persist()
+        hit_row = red.agg(
+            *[F.sum(f"n_{nm}").alias(nm) for nm, _, _ in PII_RULES]
+        ).collect()[0]
+        hits = {k: int(v or 0) for k, v in hit_row.asDict().items()}
+        docs6r = (
+            docs6.drop("text")
+            .join(
+                red.select("doc_id", F.col("text_redacted").alias("text")),
+                "doc_id",
+            )
+            .persist()
+        )
+        record("pii_redact", docs6r.count(), matches=hits)
+        red.unpersist()
     else:
-        docs7 = docs6
+        docs6r = docs6
+        record("pii_redact", n, skipped="not requested")
+
+    # 7. deterministic sampling
+    if args.sample_rate < 1.0:
+        docs7 = hash_sample(docs6r, args.sample_rate, "doc_id", salt=args.sample_salt)
+    else:
+        docs7 = docs6r
     docs7 = docs7.persist()
     record("hash_sample", docs7.count(), rate=args.sample_rate)
 
-    # 7. sequence packing: attach bin assignment to each survivor
+    # 8. sequence packing: attach bin assignment to each survivor
     packed = pack_documents(docs7, args.pack_budget)
     out = docs7.join(packed, "doc_id")
     out.write.mode("overwrite").parquet(args.output)

@@ -575,3 +575,69 @@ def walks_query_sql(length: int = 4, salt: str = "walk", dialect: str = "duckdb"
     )
     body = ",\n".join(steps)
     return f"WITH {graph_ctes(dialect)},\n{body}\n{union}"
+
+
+def lpa_modularity_query_sql(rounds: int = 4, dialect: str = "duckdb") -> str:
+    """Twin of operators.community.modularity over the LPA labeling:
+    reuses the unrolled lpa CTE chain, then one pass of label-lookup
+    joins + community-degree aggregates. All count arithmetic is integral
+    inside float64 (< 2^53), so 8-decimal rounding is exact parity."""
+    lpa = lpa_query_sql(rounds=rounds, dialect=dialect)
+    # lpa_query_sql ends with "SELECT entity, label FROM l{rounds}" —
+    # wrap its WITH chain instead of nesting a subquery per reference
+    prefix = lpa.rsplit("SELECT entity, label FROM", 1)[0].rstrip().rstrip(",")
+    return f"""{prefix},
+lab AS (SELECT entity, label FROM l{rounds}),
+el AS (
+  SELECT s.label AS sl, d.label AS dl
+  FROM edges e JOIN lab s ON e.src = s.entity JOIN lab d ON e.dst = d.entity
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM el),
+within AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM el WHERE sl = dl),
+douts AS (SELECT sl AS lab2, CAST(count(*) AS DOUBLE) AS dout FROM el GROUP BY sl),
+dins AS (SELECT dl AS lab2, CAST(count(*) AS DOUBLE) AS din FROM el GROUP BY dl),
+dd AS (
+  SELECT coalesce(sum(d1.dout * d2.din), 0.0) AS x
+  FROM douts d1 JOIN dins d2 ON d1.lab2 = d2.lab2
+),
+nc AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_communities FROM lab)
+SELECT nc.n_communities,
+       round(within.w / tot.m - dd.x / (tot.m * tot.m), 8) AS modularity
+FROM nc, within, tot, dd"""
+
+
+def neighbor_jaccard_query_sql(
+    threshold: float = 0.5,
+    max_neighbor_freq: int = 100,
+    direction: str = "out",
+    dialect: str = "duckdb",
+) -> str:
+    """a, b, jaccard — twin of operators.structure.neighbor_jaccard_pairs:
+    exact Jaccard over out- (or in-) neighbor sets, with the same
+    hot-neighbor frequency cap (a hub shared by n vertices would emit
+    C(n,2) candidate rows — the graph analog of the boilerplate-shingle
+    guard in docs_ngram_jaccard_sql)."""
+    m = _mat(dialect)
+    idc, elc = ("src", "dst") if direction == "out" else ("dst", "src")
+    return rf"""
+WITH {graph_ctes(dialect)},
+ns0 AS {m}(SELECT {idc} AS id, {elc} AS elem FROM edges),
+ns AS {m}(
+  SELECT id, elem FROM ns0
+  WHERE elem IN (
+    SELECT elem FROM ns0 GROUP BY elem HAVING count(*) <= {max_neighbor_freq}
+  )
+),
+sizes AS (SELECT id, count(*) AS n_el FROM ns GROUP BY id),
+common AS (
+  SELECT x.id AS a, y.id AS b, count(*) AS common
+  FROM ns x JOIN ns y ON x.elem = y.elem AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(common * 1.0 / (sa.n_el + sb.n_el - common), 8) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.id
+JOIN sizes sb ON common.b = sb.id
+WHERE common * 1.0 / (sa.n_el + sb.n_el - common) >= {threshold}
+"""

@@ -1,0 +1,91 @@
+"""Tests for structural near-dup (neighbor-set Jaccard): python
+recompute on a hand graph, direction semantics, and the hot-neighbor
+cap's effect."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_optimization_spark.operators.structure import neighbor_jaccard_pairs
+
+EDGES = [
+    # u and v share out-neighbors {x, y}; u also → z
+    ("u", "x"), ("u", "y"), ("u", "z"),
+    ("v", "x"), ("v", "y"),
+    # w → only z
+    ("w", "z"),
+    # everything also points at hub h
+    ("u", "h"), ("v", "h"), ("w", "h"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string").cache()
+
+
+def _python_pairs(edges, threshold, cap, direction="out"):
+    sets: dict[str, set] = {}
+    from collections import Counter
+
+    i, e = (0, 1) if direction == "out" else (1, 0)
+    freq = Counter(t[e] for t in edges)
+    for t in edges:
+        if freq[t[e]] <= cap:
+            sets.setdefault(t[i], set()).add(t[e])
+    out = []
+    ks = sorted(sets)
+    for x in ks:
+        for y in ks:
+            if x < y:
+                inter = len(sets[x] & sets[y])
+                if inter:
+                    j = inter / len(sets[x] | sets[y])
+                    if j >= threshold:
+                        out.append((x, y, round(j, 8)))
+    return sorted(out)
+
+
+def test_matches_python_recompute(edges):
+    got = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in neighbor_jaccard_pairs(
+            edges, threshold=0.3, max_neighbor_freq=1000
+        ).collect()
+    )
+    assert got == _python_pairs(EDGES, 0.3, 1000)
+    assert ("u", "v", round(3 / 4, 8)) in got  # {x,y,h} vs {x,y,h} ∪ {z}... with h
+
+
+def test_hot_neighbor_cap_drops_hub_signal(edges):
+    # cap=2 drops h (freq 3); z (freq 2) stays: u={x,y,z}, v={x,y}, w={z}
+    caps: dict = {}
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in neighbor_jaccard_pairs(
+            edges, threshold=0.1, max_neighbor_freq=2, counters=caps
+        ).collect()
+    }
+    assert got == {
+        ("u", "v"): round(2 / 3, 8),
+        ("u", "w"): round(1 / 3, 8),
+    } == dict(
+        ((a, b), j) for a, b, j in _python_pairs(EDGES, 0.1, 2)
+    )
+    assert caps["neighbors_capped"] == 1 and caps["neighbor_rows_capped"] == 3
+
+
+def test_direction_in(edges):
+    got = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in neighbor_jaccard_pairs(
+            edges, threshold=0.3, direction="in", max_neighbor_freq=1000
+        ).collect()
+    )
+    assert got == _python_pairs(EDGES, 0.3, 1000, direction="in")
+    # x and y are both pointed at by exactly {u, v} → jaccard 1.0
+    assert ("x", "y", 1.0) in got
+
+
+def test_bad_direction_raises(edges):
+    with pytest.raises(ValueError):
+        neighbor_jaccard_pairs(edges, direction="sideways")
