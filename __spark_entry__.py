@@ -541,6 +541,27 @@ def _q_docs_dedup_survivors_semantic(spark: SparkSession, sf_dir: str) -> DataFr
     return survivors.select("doc_id")
 
 
+def _q_docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (the daily-crawl-delta shape): a deterministic
+    20% hash split plays the new batch, the rest the curated corpus; a
+    new doc survives iff it exact- and near-matches NO corpus doc
+    (corpus always wins — no family collapse needed). Portable hash
+    family so the twin reproduces every signature and bucket."""
+    from pagerank_optimization_spark.operators.dedup import dedup_against_corpus
+    from pagerank_optimization_spark.operators.sampling import (
+        SAMPLE_DENOM,
+        _sample_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bkt = _sample_bucket(F.col("doc_id"), "incr")
+    thr = int(0.2 * SAMPLE_DENOM)
+    new = docs.where(bkt < F.lit(thr))
+    corpus = docs.where(bkt >= F.lit(thr))
+    survivors, _ = dedup_against_corpus(new, corpus, hasher="portable")
+    return survivors.select("doc_id", "lang")
+
+
 def _q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs over the embeddings table, exact=True (the
     oracle-checkable all-pairs baseline of embedding_neardup_pairs; the
@@ -639,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_lines": _q_docs_dedup_lines,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
+        "docs_dedup_incremental": _q_docs_dedup_incremental,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
         # rows-only (synthesized binary media — no SQL twin)
@@ -708,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
             k=CONTAM_K, bench_rate=CONTAM_RATE, bench_salt="bench"
         ),
         "docs_dedup_lines": osql_docs.docs_dedup_lines_sql(),
+        "docs_dedup_incremental": osql_docs.docs_dedup_incremental_sql(
+            new_rate=0.2, salt="incr"
+        ),
         "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
     }

@@ -401,6 +401,30 @@ def main() -> None:
             "skew_caps_fired": dict(dl_caps),
         }
 
+        from pagerank_optimization_spark.operators.dedup import dedup_against_corpus
+
+        _ib = _sample_bucket(_F.col("doc_id"), "incr")
+        _ithr = int(0.2 * SAMPLE_DENOM)
+        inc_caps: dict = {}
+
+        def _incremental():
+            inc_caps.clear()
+            surv, st = dedup_against_corpus(
+                docs.where(_ib < _ithr),
+                docs.where(_ib >= _ithr),
+                counters=inc_caps,
+            )
+            return surv.count(), st
+
+        n_inc, inc_stats = timed_min(
+            "pipe_dedup_incremental", _incremental, n=oneshot_trials
+        )
+        pipe["dedup_incremental"] = {
+            "new_survivors": n_inc,
+            "stages": inc_stats,
+            "skew_caps_fired": dict(inc_caps),
+        }
+
         _bkt = _sample_bucket(_F.col("doc_id"), "bench")
         _thr = int(0.02 * SAMPLE_DENOM)
         timed_min(

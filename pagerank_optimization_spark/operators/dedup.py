@@ -162,6 +162,31 @@ def minhash_signatures(
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _band_rows(
+    sigs: DataFrame, *, bands: int, rows: int, id_col: str, hasher: str
+) -> DataFrame:
+    """(id, band, bh): LSH band keys from a signature table — shared by the
+    within-table pair generator and the incremental (new-vs-corpus) path.
+    hasher='portable' keeps the raw band-key string (the oracle must see
+    identical buckets); production re-hashes it to one long."""
+
+    def band_key(bi: int):
+        key = F.concat_ws(
+            ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+        )
+        return key if hasher == "portable" else F.xxhash64(key)
+
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
+            for bi in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_cols).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     *,
@@ -195,21 +220,7 @@ def minhash_lsh_pairs(
         seed=seed, hasher=hasher,
     ).persist()
 
-    def band_key(bi: int):
-        key = F.concat_ws(
-            ",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
-        )
-        return key if hasher == "portable" else F.xxhash64(key)
-
-    band_cols = F.array(
-        *[
-            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bh"))
-            for bi in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(band_cols).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    banded = _band_rows(sigs, bands=bands, rows=rows, id_col=id_col, hasher=hasher)
     # skew guard: drop pathologically large buckets
     bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
     if counters is not None:
@@ -471,4 +482,125 @@ def dedup_cascade(
         survivors.unpersist()
         survivors, n = nxt, n1
 
+    return survivors, stats
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    hasher: str = "xxhash64",
+    max_bucket_size: int = 500,
+    counters: dict | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Incremental dedup: filter a NEW batch against an EXISTING corpus —
+    the daily-increment shape of a production pipeline (the crawl delta is
+    deduped against the already-curated corpus; the corpus itself is never
+    reprocessed). Asymmetric by construction: corpus docs always win, so
+    no family collapse is needed — a new doc is dropped iff it exact- or
+    near-matches ANY corpus doc.
+
+    Stages (cheapest first, mirroring dedup_cascade):
+    1. exact  — anti-join on the normalized-text fingerprint;
+    2. minhash — signatures over corpus ∪ exact-survivors (one shared
+       permutation family), banded LSH with the bucket cap applied to the
+       COMBINED bucket (a boilerplate bucket is pathological regardless of
+       which side fills it), candidates only across the new/corpus flag,
+       signature-verified at ``threshold``.
+
+    → (survivors of ``new_docs`` with original columns, per-stage stats).
+
+    ``id_col`` values must be disjoint across the two tables (they key the
+    shared signature table). Scale notes: the corpus side's signatures and
+    band rows are pure functions of the corpus — at 100 TB a deployment
+    persists them once as a table and reuses them per increment; this
+    operator recomputes them when handed raw documents, which is the same
+    plan minus the read. The cross join is band-bucketed (sub-quadratic),
+    and within-batch duplicates are deliberately NOT collapsed here — run
+    dedup_cascade on the surviving batch for that.
+    """
+    stats: list[dict] = []
+    n0 = new_docs.count()
+
+    # 1. exact: new docs matching any corpus fingerprint are dropped
+    fp_new = fingerprint_expr(F.col(text_col))
+    corpus_fp = corpus_docs.select(fingerprint_expr(F.col(text_col)).alias("_fp"))
+    new1 = (
+        new_docs.withColumn("_fp", fp_new)
+        .join(corpus_fp, "_fp", "left_anti")
+        .drop("_fp")
+        .persist()
+    )
+    n1 = new1.count()
+    stats.append({"stage": "exact", "input": n0, "removed": n0 - n1, "survivors": n1})
+
+    # 2. minhash-LSH cross match
+    rows = num_perm // bands
+    union = corpus_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_new")
+    ).unionByName(new1.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_new")))
+    flags = union.select(id_col, "_new")
+    sigs = minhash_signatures(
+        union, num_perm=num_perm, k=k, id_col=id_col, text_col=text_col,
+        seed=seed, hasher=hasher,
+    ).persist()
+    banded = _band_rows(sigs, bands=bands, rows=rows, id_col=id_col, hasher=hasher)
+    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
+    if counters is not None:
+        row = (
+            bucket_sizes.filter(F.col("bs") > max_bucket_size)
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("bs"), F.lit(0)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        counters["buckets_capped"] = int(row["n"])
+        counters["bucket_rows_capped"] = int(row["rows"])
+    banded = banded.join(
+        bucket_sizes.filter(F.col("bs") <= max_bucket_size), ["band", "bh"], "left_semi"
+    ).join(flags, id_col)
+    b_new = banded.filter(F.col("_new") == 1).select(
+        F.col(id_col).alias("_nid"), "band", "bh"
+    )
+    b_cor = banded.filter(F.col("_new") == 0).select(
+        F.col(id_col).alias("_cid"), "band", "bh"
+    )
+    cand = b_new.join(b_cor, ["band", "bh"]).select("_nid", "_cid").distinct()
+    matched = (
+        cand.join(
+            sigs.select(F.col(id_col).alias("_nid"), F.col("sig").alias("sig_a")),
+            "_nid",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("_cid"), F.col("sig").alias("sig_b")),
+            "_cid",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+                )
+            )
+            / F.lit(float(num_perm)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    survivors = new1.join(matched, id_col, "left_anti")
+    n2 = survivors.count()
+    stats.append(
+        {"stage": "minhash_vs_corpus", "input": n1, "removed": n1 - n2, "survivors": n2}
+    )
+    sigs.unpersist()
+    new1.unpersist()
     return survivors, stats

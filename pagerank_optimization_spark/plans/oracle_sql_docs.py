@@ -917,3 +917,93 @@ SELECT "left", "right", pair_count,
        CAST(row_number() OVER (ORDER BY pair_count DESC, "left" ASC, "right" ASC) AS INT) AS rank
 FROM agg ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT {n}
 """
+
+
+def docs_dedup_incremental_sql(
+    new_rate: float = 0.2,
+    salt: str = "incr",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 500,
+) -> str:
+    """doc_id, lang — twin of operators.dedup.dedup_against_corpus over a
+    deterministic hash split of the documents table (bucket < new_rate·1e6
+    plays the new batch, the rest the corpus). Same exact-stage equality
+    classes (norm string ≡ the Spark side's fingerprint of it, cascade
+    precedent), same shared permutation family over corpus ∪
+    exact-survivors, same COMBINED bucket cap, candidates only across the
+    new/corpus flag, corpus always wins."""
+    rows = num_perm // bands
+    thr = int(new_rate * SAMPLE_DENOM)
+    mins = ",\n         ".join(
+        f"min((h*{MINHASH_A(i)} + {MINHASH_B(i)}) % {POLY_P}) AS m{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, concat({key}) AS bh FROM sig".format(
+            band=bi,
+            key=", ',', ".join(f"m{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return rf"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, lang,
+         CASE WHEN {_sample_bucket_sql('doc_id', salt)} < {thr} THEN 1 ELSE 0 END AS isnew
+  FROM documents
+),
+nrm AS (SELECT doc_id, isnew, {NORM} AS norm FROM base),
+cnorm AS (SELECT DISTINCT norm FROM nrm WHERE isnew = 0),
+new1 AS MATERIALIZED (
+  SELECT doc_id FROM nrm
+  WHERE isnew = 1 AND norm NOT IN (SELECT norm FROM cnorm)
+),
+pool AS MATERIALIZED (
+  SELECT b.doc_id, b.text, b.isnew FROM base b
+  WHERE b.isnew = 0 OR b.doc_id IN (SELECT doc_id FROM new1)
+),
+t AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS toks FROM pool
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM t, unnest(list_transform(
+        range(1, greatest(len(toks) - {k}, 0) + 2),
+        i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS u(s)
+  WHERE len(string_split(s, ' ')) = {k}
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, {_poly('shingle')} AS h FROM sh
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  {band_selects}
+),
+bsz AS (SELECT band, bh, count(*) AS bs FROM banded GROUP BY 1, 2),
+b2 AS MATERIALIZED (
+  SELECT banded.* FROM banded JOIN bsz USING (band, bh)
+  WHERE bs <= {max_bucket_size}
+),
+matched AS (
+  SELECT DISTINCT x.doc_id AS nid
+  FROM b2 x JOIN b2 y USING (band, bh)
+  JOIN pool px ON x.doc_id = px.doc_id
+  JOIN pool py ON y.doc_id = py.doc_id
+  JOIN sig sa ON x.doc_id = sa.doc_id
+  JOIN sig sb ON y.doc_id = sb.doc_id
+  WHERE px.isnew = 1 AND py.isnew = 0
+    AND ({matches}) / {float(num_perm)} >= {threshold}
+)
+SELECT b.doc_id, b.lang FROM base b
+WHERE b.doc_id IN (SELECT doc_id FROM new1)
+  AND b.doc_id NOT IN (SELECT nid FROM matched)
+"""
