@@ -143,8 +143,31 @@ def minhash_signatures(
     ``hasher``: "xxhash64" (production — JVM intrinsic) or "portable"
     (polynomial mod-prime family, bit-identical in the DuckDB oracle)."""
     sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
+    return minhash_signatures_from_elements(
+        sh, num_perm=num_perm, id_col=id_col, elem_col="shingle",
+        seed=seed, hasher=hasher,
+    )
+
+
+def minhash_signatures_from_elements(
+    elements: DataFrame,
+    *,
+    num_perm: int = 64,
+    id_col: str = "doc_id",
+    elem_col: str = "shingle",
+    seed: int = 42,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """→ (id, sig array<long>): MinHash signatures over explicit
+    (id, element) SET rows — the set-valued generalization the text path
+    feeds after shingling, and what set-similarity consumers (e.g.
+    neighbor-set near-dup, operators.structure) feed directly. No
+    distinct pass: min is duplicate-insensitive, so multiset inputs yield
+    the identical set sketch, and the groupBy's partial aggregation
+    combines map-side either way."""
+    el = elements.select(F.col(id_col), F.col(elem_col).alias("_el"))
     if hasher == "portable":
-        sh = sh.withColumn("_hs", poly_hash_expr(F.col("shingle")))
+        el = el.withColumn("_hs", poly_hash_expr(F.col("_el")))
         mins = [
             F.min(
                 (F.col("_hs") * F.lit(MINHASH_A(i)) + F.lit(MINHASH_B(i))) % F.lit(POLY_P)
@@ -153,12 +176,12 @@ def minhash_signatures(
         ]
     elif hasher == "xxhash64":
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"m{i}")
+            F.min(F.xxhash64(F.col("_el"), F.lit(seed + i))).alias(f"m{i}")
             for i in range(num_perm)
         ]
     else:
         raise ValueError(f"unknown hasher {hasher!r}")
-    sigs = sh.groupBy(id_col).agg(*mins)
+    sigs = el.groupBy(id_col).agg(*mins)
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
@@ -214,12 +237,34 @@ def minhash_lsh_pairs(
     bucket_rows_capped = banded rows those buckets carried) — one extra
     aggregation job; bench-only."""
     assert num_perm % bands == 0
-    rows = num_perm // bands
     sigs = minhash_signatures(
         documents, num_perm=num_perm, k=k, id_col=id_col, text_col=text_col,
         seed=seed, hasher=hasher,
     ).persist()
+    return lsh_pairs_from_signatures(
+        sigs, num_perm=num_perm, bands=bands, threshold=threshold,
+        id_col=id_col, hasher=hasher, max_bucket_size=max_bucket_size,
+        counters=counters,
+    )
 
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    max_bucket_size: int = 500,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Banding + bucket cap + candidate self-join + signature verification
+    over an existing (id, sig) table — the pair-generation half of
+    minhash_lsh_pairs, shared with set-valued consumers
+    (operators.structure.neighbor_minhash_pairs)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
     banded = _band_rows(sigs, bands=bands, rows=rows, id_col=id_col, hasher=hasher)
     # skew guard: drop pathologically large buckets
     bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))

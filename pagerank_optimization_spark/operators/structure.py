@@ -77,3 +77,52 @@ def neighbor_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 8).alias("jaccard"))
     )
+
+
+def neighbor_minhash_pairs(
+    edges: DataFrame,
+    *,
+    direction: str = "out",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+    max_bucket_size: int = 500,
+    max_neighbor_freq: int | None = None,
+    counters: dict | None = None,
+) -> DataFrame:
+    """→ (a, b, est_jaccard): the sub-quadratic scale path for structural
+    near-dup — MinHash signatures over neighbor sets + banded LSH, the
+    exact machinery the document dedup family uses
+    (dedup.minhash_signatures_from_elements + lsh_pairs_from_signatures),
+    fed (vertex, neighbor) rows instead of (doc, shingle) rows. Use when
+    the exact neighbor_jaccard_pairs join is too wide even capped; same
+    exact↔sketch split as ngram_jaccard ↔ minhash_lsh_pairs.
+
+    ``max_neighbor_freq``: optionally apply the hot-neighbor cap BEFORE
+    sketching (then est_jaccard estimates the capped sets — pass the same
+    cap to neighbor_jaccard_pairs when comparing)."""
+    from pagerank_optimization_spark.operators.dedup import (
+        lsh_pairs_from_signatures,
+        minhash_signatures_from_elements,
+    )
+
+    if direction not in ("out", "in"):
+        raise ValueError(f"neighbor_minhash_pairs: unknown direction {direction!r}")
+    idc, elc = ("src", "dst") if direction == "out" else ("dst", "src")
+    ns = edges.select(F.col(idc).alias("id"), F.col(elc).alias("elem"))
+    if max_neighbor_freq is not None:
+        freq = ns.groupBy("elem").agg(F.count("*").alias("ef"))
+        ns = ns.join(
+            freq.filter(F.col("ef") <= max_neighbor_freq), "elem", "left_semi"
+        )
+    sigs = minhash_signatures_from_elements(
+        ns, num_perm=num_perm, id_col="id", elem_col="elem",
+        seed=seed, hasher=hasher,
+    ).persist()
+    return lsh_pairs_from_signatures(
+        sigs, num_perm=num_perm, bands=bands, threshold=threshold,
+        id_col="id", hasher=hasher, max_bucket_size=max_bucket_size,
+        counters=counters,
+    )

@@ -89,3 +89,38 @@ def test_direction_in(edges):
 def test_bad_direction_raises(edges):
     with pytest.raises(ValueError):
         neighbor_jaccard_pairs(edges, direction="sideways")
+
+
+def test_minhash_scale_path_recall(spark):
+    """Planted structural near-dups: vertices whose out-neighbor sets are
+    sliding windows over a shared pool — adjacent windows overlap 14/16
+    (jaccard 7/9 ≈ 0.78). The MinHash path must recover every exact pair
+    at jaccard ≥ 0.7 when verified at est ≥ 0.5, with estimates within
+    MinHash error of truth."""
+    from pagerank_optimization_spark.operators.structure import (
+        neighbor_minhash_pairs,
+    )
+
+    rows = []
+    for v in range(24):
+        for j in range(16):
+            rows.append((f"v{v:02d}", f"n{v + j:03d}"))
+    edges = spark.createDataFrame(rows, "src string, dst string")
+
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in neighbor_jaccard_pairs(
+            edges, threshold=0.7, max_neighbor_freq=10**9
+        ).collect()
+    }
+    assert exact  # adjacent windows qualify
+    sketch = {
+        (r.a, r.b): r.est_jaccard
+        for r in neighbor_minhash_pairs(
+            edges, threshold=0.5, num_perm=64, bands=16
+        ).collect()
+    }
+    missed = set(exact) - set(sketch)
+    assert not missed, f"minhash path missed exact pairs: {missed}"
+    for p, j in exact.items():
+        assert abs(sketch[p] - j) < 0.25  # 64-perm MinHash error envelope
