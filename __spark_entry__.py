@@ -293,6 +293,22 @@ def _q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, 40)
 
 
+def _q_docs_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF vectors (dim 32), compared on the nonzero
+    cells: the assembled array<double> is posexploded back to
+    (doc_id, bucket, w) so the twin also validates assembly positions —
+    the text→vector bridge that feeds the similarity family."""
+    from pagerank_optimization_spark.operators.vectorize import hashed_tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = hashed_tfidf(docs, 32)
+    return (
+        vecs.select("doc_id", F.posexplode("vector").alias("bucket", "w"))
+        .where(F.col("w") != 0.0)
+        .select("doc_id", "bucket", F.round("w", 8).alias("w"))
+    )
+
+
 def _q_docs_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance sampling: each doc kept with
     probability = its quality score, decided by the portable MD5 bucket
@@ -653,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_source_cap": _q_docs_source_cap,
@@ -723,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
+        "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),
         "docs_source_cap": osql_docs.docs_source_cap_sql(20),

@@ -387,6 +387,15 @@ def main() -> None:
         )
         pipe["pii_docs_per_sec"] = round(n_docs / queries["pipe_pii_redact"])
 
+        from pagerank_optimization_spark.operators.vectorize import hashed_tfidf
+
+        timed_min(
+            "pipe_hashed_tfidf",
+            lambda: hashed_tfidf(docs, 64).count(),
+            n=oneshot_trials,
+        )
+        pipe["tfidf_docs_per_sec"] = round(n_docs / queries["pipe_hashed_tfidf"])
+
         from pagerank_optimization_spark.operators.quality import dedup_lines
 
         dl_caps: dict[str, int] = {}

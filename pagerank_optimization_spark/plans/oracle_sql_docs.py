@@ -1007,3 +1007,28 @@ SELECT b.doc_id, b.lang FROM base b
 WHERE b.doc_id IN (SELECT doc_id FROM new1)
   AND b.doc_id NOT IN (SELECT nid FROM matched)
 """
+
+
+def docs_hashed_tfidf_sql(dim: int) -> str:
+    """doc_id, bucket, w — twin of operators.vectorize.hashed_tfidf,
+    compared on the NONZERO CELLS (the driver query posexplodes the
+    assembled vector and drops zeros, so this also validates assembly
+    positions). Same tokenization, same smoothed idf, same portable-hash
+    bucketing; ln() differs across engines by at most an ulp, far under
+    the 8-dp rounding."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST({_poly('tok')} % {dim} AS INT) AS bucket,
+         tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (tok), n
+)
+SELECT doc_id, bucket, round(sum(w), 8) AS w
+FROM feat GROUP BY doc_id, bucket
+"""
