@@ -190,6 +190,18 @@ def _q_sssp_conv_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_harmonic_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality within radius 3 (Σ 1/d over the ≤3-hop
+    out-ball) — the bounded-radius exact path; HyperBall is the 100 TB
+    sketch (operators.neighborhood). Unrolled all-sources-BFS twin."""
+    from pagerank_optimization_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    vertices, edges = _graph(spark, sf_dir)
+    return harmonic_centrality(vertices, edges, 3)
+
+
 def _q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural near-duplicates: vertex pairs whose out-neighbor sets
     have exact Jaccard ≥ 0.8 — templated conversations / cloned agents.
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_l4": _q_graph_walks_l4,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
+        "graph_harmonic_r3": _q_harmonic_r3,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -710,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
             threshold=0.8, max_neighbor_freq=1000
         ),
+        "graph_harmonic_r3": osql.harmonic_query_sql(r=3),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),

@@ -170,6 +170,14 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.centrality import harmonic_centrality
+
+    timed_min(
+        "graph_harmonic_r3",
+        lambda: harmonic_centrality(vertices, edges, 3, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import (
         neighbor_jaccard_pairs,
     )

@@ -641,3 +641,37 @@ JOIN sizes sa ON common.a = sa.id
 JOIN sizes sb ON common.b = sb.id
 WHERE common * 1.0 / (sa.n_el + sb.n_el - common) >= {threshold}
 """
+
+
+def harmonic_query_sql(r: int = 3, dialect: str = "duckdb") -> str:
+    """entity, harmonic — twin of operators.centrality.harmonic_centrality:
+    H(v) = Σ_{0 < d(v,u) ≤ r} 1/d(v,u) along src→dst edges, unrolled
+    round-for-round (all-sources BFS layers: a (v,u) pair's distance is
+    the first round it appears). Vertices reaching nothing get 0.0."""
+    m = _mat(dialect)
+    steps = [
+        f"d0 AS {m}(SELECT entity AS v, entity AS u, 0 AS d FROM vertices)",
+    ]
+    for i in range(1, r + 1):
+        p = i - 1
+        steps.append(f"""
+f{i} AS {m}(
+  SELECT DISTINCT p.v, e.dst AS u
+  FROM d{p} p JOIN edges e ON p.u = e.src
+  WHERE p.d = {p}
+    AND NOT EXISTS (SELECT 1 FROM d{p} s WHERE s.v = p.v AND s.u = e.dst)
+),
+d{i} AS {m}(
+  SELECT v, u, d FROM d{p}
+  UNION ALL
+  SELECT v, u, {i} AS d FROM f{i}
+)""")
+    body = ",\n".join(steps)
+    return f"""WITH {graph_ctes(dialect)},
+{body},
+h AS (
+  SELECT v, round(sum(1.0 / d), 8) AS harmonic
+  FROM d{r} WHERE d > 0 GROUP BY v
+)
+SELECT vv.entity, coalesce(h.harmonic, 0.0) AS harmonic
+FROM vertices vv LEFT JOIN h ON vv.entity = h.v"""
