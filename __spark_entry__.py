@@ -215,6 +215,18 @@ def _q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard_pairs(edges, threshold=0.8, max_neighbor_freq=1000)
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: top candidate (not-yet-connected)
+    pairs by common-neighbor votes discounted 1/ln(deg) — which
+    agents/tools are about to interact. min_score 1.5 keeps the pair set
+    oracle-sized; hub common-neighbors above the cap are dropped (their
+    vote tends to 0 anyway — the cap and the math agree)."""
+    from pagerank_optimization_spark.operators.structure import adamic_adar_pairs
+
+    _, edges = _graph(spark, sf_dir)
+    return adamic_adar_pairs(edges, min_score=1.5, max_neighbor_freq=1000)
+
+
 def _q_lpa_modularity_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (Newman–Leicht) modularity of the 4-round LPA labeling —
     the community-quality metric computed entirely as joins + aggregates
@@ -303,6 +315,17 @@ def _q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bpe_pair_counts(docs, 40)
+
+
+def _q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM corpus scoring: add-0.5-smoothed token LM
+    trained on the corpus itself, every document scored by mean token
+    log-prob + bits/token — the perplexity quality filter, self-training
+    audit mode (one row per document, empty docs score 0)."""
+    from pagerank_optimization_spark.operators.lm import unigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_lm_scores(docs, k=0.5)
 
 
 def _q_docs_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_l4": _q_graph_walks_l4,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
+        "graph_adamic_adar": _q_adamic_adar,
         "graph_harmonic_r3": _q_harmonic_r3,
         # documents / embeddings pipeline (oracle-checked)
         "docs_token_stats": _q_docs_token_stats,
@@ -683,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
+        "docs_lm_score": _q_docs_lm_score,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_source_cap": _q_docs_source_cap,
@@ -723,6 +748,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
             threshold=0.8, max_neighbor_freq=1000
         ),
+        "graph_adamic_adar": osql.adamic_adar_query_sql(
+            min_score=1.5, max_neighbor_freq=1000
+        ),
         "graph_harmonic_r3": osql.harmonic_query_sql(r=3),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
@@ -755,6 +783,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
+        "docs_lm_score": osql_docs.docs_lm_score_sql(k=0.5),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),
         "docs_source_cap": osql_docs.docs_source_cap_sql(20),

@@ -675,3 +675,46 @@ h AS (
 )
 SELECT vv.entity, coalesce(h.harmonic, 0.0) AS harmonic
 FROM vertices vv LEFT JOIN h ON vv.entity = h.v"""
+
+
+def adamic_adar_query_sql(
+    min_score: float = 0.0,
+    max_neighbor_freq: int = 1000,
+    include_existing: bool = False,
+    dialect: str = "duckdb",
+) -> str:
+    """a, b, aa_score — twin of operators.structure.adamic_adar_pairs:
+    AA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) over the undirected
+    (symmetrized, self-loop-free) graph, same hot-neighbor cap, existing
+    edges anti-joined away unless include_existing."""
+    m = _mat(dialect)
+    anti = (
+        ""
+        if include_existing
+        else "WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = s.a AND u.b = s.b)"
+    )
+    return rf"""
+WITH {graph_ctes(dialect)},
+und AS {m}(
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges
+  ) WHERE a <> b
+),
+ns AS {m}(SELECT a AS id, b AS elem FROM und),
+freq AS (SELECT elem, count(*) AS deg FROM ns GROUP BY elem),
+kept AS {m}(
+  SELECT id, ns.elem, deg FROM ns JOIN freq USING (elem)
+  WHERE deg <= {max_neighbor_freq}
+),
+scored AS (
+  SELECT x.id AS a, y.id AS b, sum(1.0 / ln(x.deg)) AS aa
+  FROM kept x JOIN kept y ON x.elem = y.elem AND x.id < y.id
+  GROUP BY 1, 2
+  HAVING sum(1.0 / ln(x.deg)) >= {min_score}
+)
+SELECT s.a, s.b, round(s.aa, 8) AS aa_score
+FROM scored s
+{anti}
+"""

@@ -1032,3 +1032,31 @@ feat AS (
 SELECT doc_id, bucket, round(sum(w), 8) AS w
 FROM feat GROUP BY doc_id, bucket
 """
+
+
+def docs_lm_score_sql(k: float = 0.5) -> str:
+    """doc_id, n_tok, avg_logp, bits_per_token — twin of
+    operators.lm.unigram_lm_scores in self-training mode (LM trained on
+    the full corpus, so every scored token is in-vocabulary and the
+    OOV/left-join branch is exercised only by pytest). Same tokenizer
+    (TOKS), same add-k formula, floats rounded to 6 on both sides."""
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cf),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf) AS n_tok,
+         sum(tf * ln((cf + {k}) / (t + {k} * (v + 1.0)))) / sum(tf) AS avg_logp
+  FROM tf JOIN cf USING (token) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+       round(coalesce(sc.avg_logp, 0.0), 6) AS avg_logp,
+       round(-coalesce(sc.avg_logp, 0.0) / ln(2), 6) AS bits_per_token
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""

@@ -124,3 +124,80 @@ def test_minhash_scale_path_recall(spark):
     assert not missed, f"minhash path missed exact pairs: {missed}"
     for p, j in exact.items():
         assert abs(sketch[p] - j) < 0.25  # 64-perm MinHash error envelope
+
+
+# --- adamic_adar_pairs ---------------------------------------------------
+
+
+def _python_aa(edge_list, cap=1000, min_score=0.0, include_existing=False):
+    import math
+    from collections import Counter
+
+    und = set()
+    for s, d in edge_list:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    deg = Counter(b for _, b in und)
+    nbrs: dict[str, set] = {}
+    for a, b in und:
+        if deg[b] <= cap:
+            nbrs.setdefault(a, set()).add(b)
+    out = {}
+    ks = sorted(nbrs)
+    for x in ks:
+        for y in ks:
+            if x < y:
+                common = nbrs[x] & nbrs[y]
+                if not common:
+                    continue
+                score = sum(1.0 / math.log(deg[w]) for w in common)
+                if score >= min_score and (include_existing or (x, y) not in und):
+                    out[(x, y)] = round(score, 8)
+    return out
+
+
+def test_adamic_adar_matches_python(edges):
+    from pagerank_optimization_spark.operators.structure import adamic_adar_pairs
+
+    got = {
+        (r.a, r.b): r.aa_score
+        for r in adamic_adar_pairs(edges.distinct(), max_neighbor_freq=1000).collect()
+    }
+    want = _python_aa(EDGES)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-8)
+    # prediction mode: no emitted pair is an existing undirected edge
+    und = {(s, d) for s, d in EDGES} | {(d, s) for s, d in EDGES}
+    assert not (got.keys() & und)
+
+
+def test_adamic_adar_include_existing_and_cap(edges):
+    from pagerank_optimization_spark.operators.structure import adamic_adar_pairs
+
+    counters = {}
+    got = {
+        (r.a, r.b): r.aa_score
+        for r in adamic_adar_pairs(
+            edges.distinct(),
+            max_neighbor_freq=2,
+            include_existing=True,
+            counters=counters,
+        ).collect()
+    }
+    want = _python_aa(EDGES, cap=2, include_existing=True)
+    assert got == {k: pytest.approx(v, abs=1e-8) for k, v in want.items()}
+    assert counters["neighbors_capped"] >= 1  # hub h (and u) exceed deg 2
+
+
+def test_adamic_adar_hub_vote_is_discounted(spark):
+    """A pair sharing only a high-degree hub scores below a pair sharing
+    a low-degree neighbor — the 1/ln(deg) discount."""
+    from pagerank_optimization_spark.operators.structure import adamic_adar_pairs
+
+    rows = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+            ("p", "w"), ("q", "w")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r.a, r.b): r.aa_score for r in adamic_adar_pairs(e).collect()}
+    assert got[("p", "q")] > got[("a", "b")]
