@@ -250,6 +250,18 @@ def _q_graph_walks_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(vertices, edges, 4)
 
 
+def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts over the length-4 walk
+    corpus, symmetric window ±2 — the DeepWalk graph→embedding bridge
+    (the corpus an SGNS/PPMI node embedding trains on). One 1:1
+    equi-join per offset, never a per-walk self-join; all-integer
+    output (exact hash parity)."""
+    from pagerank_optimization_spark.operators.walks import random_walks, skipgram_pairs
+
+    vertices, edges = _graph(spark, sf_dir)
+    return skipgram_pairs(random_walks(vertices, edges, 4), window=2)
+
+
 def _q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-25 over the documents table for a fixed 3-term query —
     pure-DataFrame ranked retrieval (operators.retrieval.bm25_topk),
@@ -326,6 +338,28 @@ def _q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_lm_scores(docs, k=0.5)
+
+
+def _q_docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (doc count, token volume, mean chars,
+    exact p50/p90/p99 token counts) — the data-mixing report; exact
+    percentile here for oracle parity, approx_percentile (bounded-state
+    sketch) is the 100 TB path (operators.quality.corpus_profile)."""
+    from pagerank_optimization_spark.operators.quality import corpus_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_profile(docs, exact=True)
+
+
+def _q_docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (±2) token co-occurrence PMI — the count-based
+    word-association matrix (PPMI ≈ factorized skip-gram, Levy &
+    Goldberg 2014); min_count=5 prunes the tail before the marginal
+    joins. Pure array algebra + two hash aggs, no self-join."""
+    from pagerank_optimization_spark.operators.cooccur import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_pairs(docs, window=2, min_count=5)
 
 
 def _q_docs_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +482,21 @@ def _q_pagerank_weighted_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcripts_from_events(_events(spark, sf_dir)), edge_weights="count"
     )
     res = pagerank(vertices, wedges, fixed_iters=5)
+    return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
+
+
+def _q_pagerank_decay_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted PageRank: each interaction's vote halves every 3
+    days of age relative to its source's latest activity
+    (build_graph(edge_weights="decay") — "who matters LATELY"), through
+    the SAME pagerank() kernel. Oracle-checks the NTZ-safe epoch
+    arithmetic + decay weighting + row normalization end to end."""
+    vertices, dedges = build_graph(
+        transcripts_from_events(_events(spark, sf_dir)),
+        edge_weights="decay",
+        decay_halflife_s=259200.0,
+    )
+    res = pagerank(vertices, dedges, fixed_iters=5)
     return res.ranks.select("entity", F.round("pr", 8).alias("pr"))
 
 
@@ -671,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_k5_csr_scale": _q_pagerank_k5_csr_scale,
         "graph_ppr_k5": _q_ppr_k5,
         "graph_pagerank_weighted_k5": _q_pagerank_weighted_k5,
+        "graph_pagerank_decay_k5": _q_pagerank_decay_k5,
         "graph_hits_k5": _q_hits_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_triangles": _q_triangles,
@@ -682,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
         "graph_walks_l4": _q_graph_walks_l4,
+        "graph_walk_skipgrams": _q_walk_skipgrams,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
@@ -707,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
+        "docs_pmi_pairs": _q_docs_pmi_pairs,
+        "docs_corpus_profile": _q_docs_corpus_profile,
         "docs_lm_score": _q_docs_lm_score,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
@@ -733,6 +786,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_k5_csr_scale": osql.pagerank_query_sql(k=5),
         "graph_ppr_k5": osql.ppr_query_sql(k=5, reset_prefix="tool:"),
         "graph_pagerank_weighted_k5": osql.pagerank_weighted_query_sql(k=5),
+        "graph_pagerank_decay_k5": osql.pagerank_decay_query_sql(
+            k=5, halflife_s=259200.0
+        ),
         "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_triangles": osql.triangle_query_sql(),
@@ -743,6 +799,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
+        "graph_walk_skipgrams": osql.walk_skipgrams_query_sql(
+            length=4, window=2
+        ),
         "graph_walks_l4": osql.walks_query_sql(length=4),
         "graph_lpa_modularity_r4": osql.lpa_modularity_query_sql(rounds=4),
         "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
@@ -783,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
+        "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
+        "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),
         "docs_lm_score": osql_docs.docs_lm_score_sql(k=0.5),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),

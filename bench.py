@@ -404,6 +404,33 @@ def main() -> None:
         )
         pipe["tfidf_docs_per_sec"] = round(n_docs / queries["pipe_hashed_tfidf"])
 
+        from pagerank_optimization_spark.operators.lm import unigram_lm_scores
+
+        timed_min(
+            "pipe_lm_score",
+            lambda: unigram_lm_scores(docs, k=0.5).count(),
+            n=oneshot_trials,
+        )
+        pipe["lm_docs_per_sec"] = round(n_docs / queries["pipe_lm_score"])
+
+        from pagerank_optimization_spark.operators.cooccur import pmi_pairs
+
+        timed_min(
+            "pipe_pmi_pairs",
+            lambda: pmi_pairs(docs, window=2, min_count=5).count(),
+            n=oneshot_trials,
+        )
+        pipe["pmi_docs_per_sec"] = round(n_docs / queries["pipe_pmi_pairs"])
+
+        from pagerank_optimization_spark.operators.quality import corpus_profile
+
+        timed_min(
+            "pipe_corpus_profile",
+            lambda: corpus_profile(docs, exact=False).count(),
+            n=oneshot_trials,
+        )
+        pipe["profile_docs_per_sec"] = round(n_docs / queries["pipe_corpus_profile"])
+
         from pagerank_optimization_spark.operators.quality import dedup_lines
 
         dl_caps: dict[str, int] = {}

@@ -113,6 +113,89 @@ def edge_multiplicities(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def edge_decay_occurrences(transcripts: DataFrame) -> DataFrame:
+    """Per-occurrence edge events with their acting-turn timestamp:
+    → (src, dst, te) where ``te`` is NTZ-safe epoch seconds of the turn
+    that CREATES the interaction (reply: the replying turn; tool
+    invocation: the assistant turn; tool consumption: the following
+    turn). Duplicates kept — each occurrence decays independently.
+
+    Same three edge families as edge_multiplicities (multigraph view);
+    the timestamp convention is "the later participant's clock", so a
+    recency-weighted rank reflects when the interaction last HAPPENED,
+    not when the counterpart first appeared."""
+    from .sessions import _epoch_s
+
+    sel = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        turn_entity_expr(F.col("role"), F.col("conv_id"), F.col("tool")).alias("entity"),
+        _epoch_s(F.col("ts")).alias("te"),
+    ).filter(F.col("entity").isNotNull())
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    reply = (
+        sel.withColumn("prev_entity", F.lag("entity").over(w))
+        .filter(F.col("prev_entity").isNotNull())
+        .select(F.col("entity").alias("src"), F.col("prev_entity").alias("dst"), "te")
+    )
+    tool_edges = sel.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select(
+        F.concat(F.lit("agent:"), agent_key_expr(F.col("conv_id"))).alias("src"),
+        F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+        "te",
+    )
+    followup = (
+        sel.withColumn("next_entity", F.lead("entity").over(w))
+        .withColumn("next_te", F.lead("te").over(w))
+        .filter(
+            (F.col("role") == "assistant")
+            & F.col("tool").isNotNull()
+            & F.col("next_entity").isNotNull()
+        )
+        .select(
+            F.col("next_entity").alias("src"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("dst"),
+            F.col("next_te").alias("te"),
+        )
+    )
+    return reply.unionByName(tool_edges).unionByName(followup)
+
+
+def edge_decay_weights(transcripts: DataFrame, *, halflife_s: float) -> DataFrame:
+    """Recency-weighted multigraph: → (src, dst, w) with
+    w = Σ_occurrences 0.5^((tmax_src − te) / halflife_s) — each
+    interaction's vote halves every ``halflife_s`` seconds of age.
+
+    The reference decay point ``tmax_src`` is the source's OWN latest
+    activity, not the global corpus max: per-source normalization
+    (build_graph row-stochastic division) makes the two mathematically
+    identical — every weight in a row shares the factor
+    0.5^((tmax_global − tmax_src)/hl), which cancels — but the per-source
+    anchor never underflows, no matter how stale a source is relative to
+    the corpus head (0.5^((months)/hl) in float64 is exactly 0, which
+    would turn a stale row into 0/0 = NaN under a global anchor).
+
+    Scale shape: one window pass for occurrences (the graph build's
+    existing shuffle), then two map-side-combinable aggs keyed by src and
+    one |V|-sized join — same plan family as edge_weights="count"."""
+    if halflife_s <= 0:
+        raise ValueError(f"edge_decay_weights: halflife_s must be > 0, got {halflife_s}")
+    occ = edge_decay_occurrences(transcripts)
+    smax = occ.groupBy("src").agg(F.max("te").alias("tmax"))
+    return (
+        occ.join(smax, "src")
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                F.pow(F.lit(0.5), (F.col("tmax") - F.col("te")) / F.lit(float(halflife_s)))
+            ).alias("w")
+        )
+    )
+
+
 def build_vertices(transcripts: DataFrame, edges: DataFrame) -> DataFrame:
     """Distinct entity vertices: every turn entity plus every edge endpoint
     (single-turn conversations yield isolated — dangling — vertices, which
@@ -150,27 +233,41 @@ def normalize_edges(edges: DataFrame, outdeg: DataFrame | None = None) -> DataFr
 
 
 def build_graph(
-    transcripts: DataFrame, *, edge_weights: str = "binary"
+    transcripts: DataFrame,
+    *,
+    edge_weights: str = "binary",
+    decay_halflife_s: float = 21600.0,
 ) -> tuple[DataFrame, DataFrame]:
     """transcripts → (vertices, weighted edges). The Spark analog of
     `initialize_multiformat_graph` (pagerank.c:279-305).
 
     ``edge_weights``: "binary" (default — duplicates collapse, 1/outdeg
-    weights, reference parity) or "count" (multigraph — weight proportional
-    to interaction multiplicity, row-stochastic per source).
+    weights, reference parity), "count" (multigraph — weight proportional
+    to interaction multiplicity, row-stochastic per source), or "decay"
+    (recency-weighted multigraph — each interaction's vote halves every
+    ``decay_halflife_s`` seconds of age, row-stochastic per source; "who
+    matters LATELY" instead of "who ever mattered").
     """
     if edge_weights == "binary":
         edges = build_edges(transcripts)
         vertices = build_vertices(transcripts, edges)
         return vertices, normalize_edges(edges)
-    if edge_weights != "count":
+    if edge_weights == "count":
+        multi = edge_multiplicities(transcripts)
+        vertices = build_vertices(transcripts, multi)
+        # |V|-sized totals: no broadcast hint — AQE decides by measured size
+        totals = multi.groupBy(F.col("src")).agg(F.sum("cnt").alias("total"))
+        weighted = multi.join(totals, "src").select(
+            "src", "dst", (F.col("cnt") / F.col("total")).alias("weight")
+        )
+        return vertices, weighted
+    if edge_weights != "decay":
         raise ValueError(f"unknown edge_weights {edge_weights!r}")
-    multi = edge_multiplicities(transcripts)
-    vertices = build_vertices(transcripts, multi)
-    # |V|-sized totals: no broadcast hint — AQE decides by measured size
-    totals = multi.groupBy(F.col("src")).agg(F.sum("cnt").alias("total"))
-    weighted = multi.join(totals, "src").select(
-        "src", "dst", (F.col("cnt") / F.col("total")).alias("weight")
+    dw = edge_decay_weights(transcripts, halflife_s=decay_halflife_s)
+    vertices = build_vertices(transcripts, dw)
+    totals = dw.groupBy(F.col("src")).agg(F.sum("w").alias("total"))
+    weighted = dw.join(totals, "src").select(
+        "src", "dst", (F.col("w") / F.col("total")).alias("weight")
     )
     return vertices, weighted
 

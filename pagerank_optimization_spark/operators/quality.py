@@ -263,3 +263,62 @@ def dedup_lines(
             "n_lines_dropped"
         ),
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    exact: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-``group_col`` corpus profile — the "what am I about to train
+    on" report every data-mixing decision starts from: document count,
+    token volume, mean char length, and token-count percentiles
+    (p50/p90/p99).
+
+    → (source, n_docs, total_tokens, avg_chars, p50_tok, p90_tok,
+    p99_tok), one row per group.
+
+    ``exact=True`` (default, oracle mode): `percentile` — linear
+    interpolation on the sorted values, the same type-7 quantile DuckDB's
+    `quantile_cont` computes, so the twin compares values exactly. Spark's
+    exact percentile buffers each group's values in the aggregation
+    state, so it is per-group-memory-bound — fine for per-SOURCE groups
+    (few, large groups stream through partial aggs ONLY with approx), so
+    at 100 TB use ``exact=False``: `approx_percentile` (t-digest-style
+    sketch, bounded state, map-side combinable) with the default 10k
+    accuracy — the standard exact↔sketch split this repo uses
+    (ngram_jaccard↔minhash, reach↔hyperball)."""
+    from ..functions.text import token_count_expr
+
+    per_doc = docs.select(
+        F.col(group_col).alias("source"),
+        F.length(text_col).alias("n_chars"),
+        token_count_expr(F.col(text_col)).alias("n_tok"),
+    )
+    if exact:
+        pct = F.percentile("n_tok", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    else:
+        pct = F.approx_percentile(
+            "n_tok", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_chars"), round_to).alias("avg_chars"),
+            pct.alias("pct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            F.round(F.col("pct")[0].cast("double"), round_to).alias("p50_tok"),
+            F.round(F.col("pct")[1].cast("double"), round_to).alias("p90_tok"),
+            F.round(F.col("pct")[2].cast("double"), round_to).alias("p99_tok"),
+        )
+    )

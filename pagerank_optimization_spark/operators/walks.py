@@ -153,3 +153,40 @@ def random_walks(
     # released, result backed)
     adj.unpersist()
     return out
+
+
+def skipgram_pairs(walks: DataFrame, *, window: int = 2) -> DataFrame:
+    """Walk corpus → skip-gram training pairs: → (center, context,
+    pair_count) for every ordered pair of walk positions within
+    ``window`` steps of each other (both directions — the symmetric
+    window word2vec/DeepWalk uses; Perozzi et al., "DeepWalk", KDD 2014).
+
+    This is the graph→embedding bridge: random_walks() linearizes the
+    graph into "sentences", this operator turns them into the
+    (center, context) co-occurrence corpus an SGNS/PPMI embedding trains
+    on (the PPMI factorization equivalence: Levy & Goldberg 2014 — the
+    token-side analog is operators.cooccur.pmi_pairs).
+
+    Scale shape: one 1:1 equi-join per offset d (join on
+    (walk_id, step = step + d)) — NEVER a per-walk self-join (which is
+    O(L²) rows per walk before filtering; at DeepWalk's L=80 that is
+    6400× per-walk blowup vs this plan's L·window). The union feeds one
+    map-side-combinable hash agg; hot centers (hub vertices reached by
+    many walks) collapse map-side exactly like hot tokens in vocab_topk.
+
+    All-integer output — hash-exact across engines, no float rounding."""
+    if window < 1:
+        raise ValueError(f"skipgram_pairs: window must be ≥ 1, got {window}")
+    ev = None
+    for d in range(1, window + 1):
+        right = walks.select(
+            "walk_id", (F.col("step") - d).alias("step"), F.col("entity").alias("ctx")
+        )
+        pairs_d = walks.join(right, ["walk_id", "step"]).select(
+            F.col("entity").alias("x"), F.col("ctx").alias("y")
+        )
+        ev = pairs_d if ev is None else ev.unionByName(pairs_d)
+    directed = ev.select(F.col("x").alias("center"), F.col("y").alias("context")).unionByName(
+        ev.select(F.col("y").alias("center"), F.col("x").alias("context"))
+    )
+    return directed.groupBy("center", "context").agg(F.count("*").alias("pair_count"))

@@ -443,6 +443,94 @@ r{i} AS {m}(
     )
 
 
+def decay_graph_ctes(halflife_s: float, dialect: str = "duckdb") -> str:
+    """Recency-weighted multigraph extension of graph_ctes — twin of
+    graph_build.edge_decay_weights / build_graph(edge_weights="decay"):
+    per-occurrence edge events with the acting turn's epoch seconds
+    (reply: the replying turn; tool invocation: the assistant turn; tool
+    consumption: the FOLLOWING turn — lead(te)), each occurrence weighted
+    0.5^((tmax_src − te)/halflife) against the source's own latest
+    activity (per-source anchor: identical after row-normalization,
+    underflow-free — see edge_decay_weights docstring)."""
+    m = _mat(dialect)
+    ent = entity_sql(dialect)
+    return f"""
+dturns AS {m}(
+  SELECT conv_id, turn_idx, role, tool, {ent} AS entity,
+         epoch_us(ts)/1000000.0 AS te
+  FROM transcripts
+  WHERE {ent} IS NOT NULL
+),
+docc AS {m}(
+  SELECT src, dst, te FROM (
+    SELECT entity AS src, lag(entity) OVER w AS dst, te
+    FROM dturns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  ) r WHERE dst IS NOT NULL
+  UNION ALL
+  SELECT entity AS src, concat('tool:', tool) AS dst, te
+  FROM dturns WHERE role = 'assistant' AND tool IS NOT NULL
+  UNION ALL
+  SELECT src, dst, te FROM (
+    SELECT lead(entity) OVER w AS src, concat('tool:', tool) AS dst,
+           lead(te) OVER w AS te, role, tool
+    FROM dturns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  ) f WHERE role = 'assistant' AND tool IS NOT NULL AND src IS NOT NULL
+),
+dsmax AS {m}(SELECT src, max(te) AS tmax FROM docc GROUP BY src),
+decay_edges AS {m}(
+  SELECT o.src, o.dst,
+         sum(pow(0.5, (s.tmax - o.te) / {float(halflife_s)})) AS w
+  FROM docc o JOIN dsmax s ON o.src = s.src
+  GROUP BY o.src, o.dst
+),
+dtot AS {m}(SELECT src AS entity, sum(w) AS total FROM decay_edges GROUP BY src)"""
+
+
+def pagerank_decay_query_sql(
+    k: int = 5,
+    halflife_s: float = 259200.0,
+    dialect: str = "duckdb",
+    round_to: int = 8,
+) -> str:
+    """Unrolled K-step damped PageRank over the recency-weighted
+    multigraph — row-stochastic w/total per source (the engine's
+    build_graph(edge_weights="decay") path feeding the same pagerank()
+    kernel; dangling = no out-interactions, identical vertex set — the
+    decay families' endpoint set equals the binary families')."""
+    d = DAMPING
+    m = _mat(dialect)
+    steps = []
+    steps.append(f"nv AS {m}(SELECT count(*) AS n FROM vertices)")
+    steps.append(f"r0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+dang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM r{p} r LEFT JOIN dtot w ON r.entity = w.entity
+  WHERE w.entity IS NULL
+),
+contrib{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr * e.w / w.total) AS contrib
+  FROM decay_edges e
+  JOIN r{p} r ON e.src = r.entity
+  JOIN dtot w ON e.src = w.entity
+  GROUP BY e.dst
+),
+r{i} AS {m}(
+  SELECT v.entity,
+         (1.0 - {d}) / (SELECT n FROM nv)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT n FROM nv)
+                  + coalesce(c.contrib, 0)) AS pr
+  FROM vertices v LEFT JOIN contrib{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{decay_graph_ctes(halflife_s, dialect)},\n{body}\n"
+        f"SELECT entity, round(pr, {round_to}) AS pr FROM r{k}"
+    )
+
+
 def hits_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
     """Unrolled K-iteration HITS with L1 normalization after every
     half-step — mirrors operators.hits.hits() exactly (auth gathers hubs
@@ -717,4 +805,36 @@ scored AS (
 SELECT s.a, s.b, round(s.aa, 8) AS aa_score
 FROM scored s
 {anti}
+"""
+
+
+def walk_skipgrams_query_sql(
+    length: int = 4, window: int = 2, salt: str = "walk", dialect: str = "duckdb"
+) -> str:
+    """center, context, pair_count — twin of operators.walks.skipgram_pairs
+    over random_walks(walks_per_vertex=1): the full walks twin runs as a
+    nested WITH inside one materialized CTE, then one equi-join per
+    offset d (b.step = a.step + d) and the symmetric both-directions
+    count. All-integer output — exact hash parity."""
+    m = _mat(dialect)
+    inner = walks_query_sql(length=length, salt=salt, dialect=dialect)
+    terms = "\n  UNION ALL\n".join(
+        f"""  SELECT a.entity AS x, b.entity AS y
+  FROM wl a JOIN wl b ON a.walk_id = b.walk_id AND b.step = a.step + {d}"""
+        for d in range(1, window + 1)
+    )
+    return f"""
+WITH wl AS {m}(
+{inner}
+),
+ev AS {m}(
+{terms}
+),
+dirp AS {m}(
+  SELECT x AS center, y AS context FROM ev
+  UNION ALL
+  SELECT y AS center, x AS context FROM ev
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS pair_count
+FROM dirp GROUP BY center, context
 """

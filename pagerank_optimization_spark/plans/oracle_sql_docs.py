@@ -1060,3 +1060,64 @@ SELECT d.doc_id,
        round(-coalesce(sc.avg_logp, 0.0) / ln(2), 6) AS bits_per_token
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
+
+
+def docs_pmi_pairs_sql(window: int = 2, min_count: int = 5) -> str:
+    """a, b, pair_count, pmi — twin of operators.cooccur.pmi_pairs: same
+    tokenizer (TOKS), same symmetric-window directed counts (each (x, y)
+    event feeds both n(x→y) and n(y→x); diagonal counts twice), same
+    PMI = ln(n·N / (m_a·m_b)) rounded to 6. DuckDB range(1, n) is
+    end-exclusive, so offset j pairs index i = 1..len−j via
+    range(1, len−j+1) — the BPE twin's convention."""
+    terms = "\n  UNION ALL\n".join(
+        f"""  SELECT u.p.x AS x, u.p.y AS y
+  FROM cs, unnest(list_transform(range(1, len(c) + 1 - {j}),
+       i -> struct_pack(x := c[i], y := c[i + {j}]))) AS u(p)"""
+        for j in range(1, window + 1)
+    )
+    return rf"""
+WITH cs AS MATERIALIZED (
+  SELECT {TOKS} AS c FROM documents
+),
+ev AS MATERIALIZED (
+{terms}
+),
+dir AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM ev
+  UNION ALL
+  SELECT y AS a, x AS b FROM ev
+),
+nd AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count FROM dir GROUP BY a, b
+),
+marg AS (SELECT a, sum(pair_count) AS m FROM nd GROUP BY a),
+tot AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS n_tot FROM nd)
+SELECT nd.a, nd.b, nd.pair_count,
+       round(ln(pair_count * n_tot / (ma.m * mb.m)), 6) AS pmi
+FROM nd
+JOIN marg ma ON nd.a = ma.a
+JOIN marg mb ON nd.b = mb.a
+CROSS JOIN tot
+WHERE nd.a <= nd.b AND nd.pair_count >= {min_count}
+"""
+
+
+def docs_corpus_profile_sql() -> str:
+    """source, n_docs, total_tokens, avg_chars, p50_tok, p90_tok, p99_tok
+    — twin of operators.quality.corpus_profile(exact=True): same
+    tokenizer (TOKS) for counts, quantile_cont ⇄ Spark percentile (both
+    type-7 linear interpolation on the sorted values)."""
+    return rf"""
+WITH per_doc AS (
+  SELECT source, length(text) AS n_chars, len({TOKS}) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50_tok,
+       round(quantile_cont(n_tok, 0.9), 6) AS p90_tok,
+       round(quantile_cont(n_tok, 0.99), 6) AS p99_tok
+FROM per_doc GROUP BY source
+"""

@@ -115,3 +115,75 @@ def test_vertex_ids_dense_and_deterministic(spark):
     assert vids == list(range(len(ids)))
     ents = [r.entity for r in sorted(ids, key=lambda r: r.vid)]
     assert ents == sorted(ents)
+
+
+def _df_with_times(spark, rows):
+    """rows: (conv_id, turn_idx, role, tool, minute) — explicit timestamps."""
+    import datetime
+
+    full = [
+        (c, i, r, f"{c}:{i}:{r}", t, datetime.datetime(2024, 1, 1, 0, mn, 0))
+        for (c, i, r, t, mn) in rows
+    ]
+    return spark.createDataFrame(full, schema=TRANSCRIPT_SCHEMA)
+
+
+def test_decay_weights_row_stochastic_and_recency(spark):
+    """edge_weights='decay': weights per src sum to 1, and between two
+    same-multiplicity out-edges the more RECENT one weighs more."""
+    # agent a1 talks through two convs: tool-x invoked early, tool-y late
+    rows = [
+        ("conv-0001", 0, "user", None, 0),
+        ("conv-0001", 1, "assistant", "tool-x", 1),
+        ("conv-0018", 0, "user", None, 40),
+        ("conv-0018", 1, "assistant", "tool-y", 41),
+    ]
+    df = _df_with_times(spark, rows)
+    _, wedges = build_graph(df, edge_weights="decay", decay_halflife_s=600.0)
+    w = {(r.src, r.dst): r.weight for r in wedges.collect()}
+    by_src = {}
+    for (src, _dst), wt in w.items():
+        by_src.setdefault(src, 0.0)
+        by_src[src] += wt
+    for src, total in by_src.items():
+        assert np.isclose(total, 1.0), (src, total)
+    # a1's tool-y interaction is 40 min fresher than tool-x (halflife 10 min)
+    assert w[("agent:a1", "tool:tool-y")] > 4 * w[("agent:a1", "tool:tool-x")]
+
+
+def test_decay_weights_time_shift_invariant_and_count_limit(spark):
+    """Per-source anchor: shifting ALL timestamps by a constant leaves
+    weights bitwise-unchanged; halflife → ∞ reproduces count weights."""
+    import datetime
+
+    rows = [
+        ("conv-0001", 0, "user", None, 0),
+        ("conv-0001", 1, "assistant", "tool-x", 1),
+        ("conv-0001", 2, "user", None, 2),
+        ("conv-0001", 3, "assistant", "tool-y", 30),
+    ]
+    df = _df_with_times(spark, rows)
+    shifted = [
+        (c, i, r, f"{c}:{i}:{r}", t, datetime.datetime(2027, 6, 5, 12, mn, 0))
+        for (c, i, r, t, mn) in rows
+    ]
+    df2 = spark.createDataFrame(shifted, schema=TRANSCRIPT_SCHEMA)
+    w1 = {(r.src, r.dst): r.weight
+          for r in build_graph(df, edge_weights="decay", decay_halflife_s=600.0)[1].collect()}
+    w2 = {(r.src, r.dst): r.weight
+          for r in build_graph(df2, edge_weights="decay", decay_halflife_s=600.0)[1].collect()}
+    assert w1 == w2
+    # gigantic halflife: every occurrence ~1.0 → weights → cnt/total
+    winf = {(r.src, r.dst): r.weight
+            for r in build_graph(df, edge_weights="decay", decay_halflife_s=1e15)[1].collect()}
+    wcnt = {(r.src, r.dst): r.weight
+            for r in build_graph(df, edge_weights="count")[1].collect()}
+    assert set(winf) == set(wcnt)
+    for k in wcnt:
+        assert np.isclose(winf[k], wcnt[k], atol=1e-9), (k, winf[k], wcnt[k])
+
+
+def test_decay_rejects_nonpositive_halflife(spark):
+    df = _df_from_rows(spark, HAND_ROWS)
+    with pytest.raises(ValueError):
+        build_graph(df, edge_weights="decay", decay_halflife_s=0.0)

@@ -239,3 +239,40 @@ def test_source_cap_plan_salts_stage_one(docs):
     plan = source_cap(docs, 5)._jdf.queryExecution().executedPlan().toString()
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower() or "Window" in l]
     assert any("_salt" in l for l in specs), plan[:2000]
+
+
+def test_corpus_profile_matches_numpy(spark):
+    """corpus_profile(exact=True) vs numpy type-7 percentiles per group."""
+    import numpy as np
+    from pagerank_optimization_spark.operators.quality import corpus_profile
+
+    rows = [
+        (i, "w " * (i % 7 + 1) + "end", "s%d" % (i % 3), "en")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    got = {r.source: r for r in corpus_profile(docs).collect()}
+    assert set(got) == {"s0", "s1", "s2"}
+    for s in got:
+        toks = np.array([len(t.split()) for (_i, t, src, _l) in rows if src == s])
+        chars = np.array([len(t) for (_i, t, src, _l) in rows if src == s])
+        r = got[s]
+        assert r.n_docs == len(toks)
+        assert r.total_tokens == int(toks.sum())
+        assert abs(r.avg_chars - round(float(chars.mean()), 6)) < 1e-9
+        for p, col in [(50, r.p50_tok), (90, r.p90_tok), (99, r.p99_tok)]:
+            assert abs(col - round(float(np.percentile(toks, p)), 6)) < 1e-9, (s, p)
+
+
+def test_corpus_profile_approx_close_to_exact(spark):
+    """The 100 TB path (approx_percentile sketch) tracks exact within the
+    sketch accuracy on a small group."""
+    from pagerank_optimization_spark.operators.quality import corpus_profile
+
+    rows = [(i, "w " * (i % 50 + 1), "s", "en") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    ex = corpus_profile(docs, exact=True).collect()[0]
+    ap = corpus_profile(docs, exact=False).collect()[0]
+    assert ap.n_docs == ex.n_docs and ap.total_tokens == ex.total_tokens
+    for a, b in [(ap.p50_tok, ex.p50_tok), (ap.p90_tok, ex.p90_tok), (ap.p99_tok, ex.p99_tok)]:
+        assert abs(a - b) <= 2.0  # integer-valued distribution, sketch ±accuracy

@@ -8,7 +8,9 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
+from pagerank_optimization_spark.operators.graph_build import build_graph
 from pagerank_optimization_spark.operators.walks import random_walks
+from pagerank_optimization_spark.sources.transcripts import synthesize_transcripts
 
 EDGES = [
     ("a", "b"),
@@ -120,3 +122,41 @@ def test_validation(graph):
         random_walks(v, e, 2, walks_per_vertex=0)
     with pytest.raises(ValueError):
         random_walks(v, e, 2, layout="nope")
+
+
+def test_skipgram_pairs_match_python_recount(spark):
+    """skipgram_pairs vs a python recount over the SAME walk corpus."""
+    from collections import Counter
+
+    from pagerank_optimization_spark.operators.walks import random_walks, skipgram_pairs
+
+    t = synthesize_transcripts(spark, 40, seed=7)
+    vertices, edges = build_graph(t)
+    walks = random_walks(vertices, edges, 3)
+    rows = walks.collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.entity
+    window = 2
+    want = Counter()
+    for steps in by_walk.values():
+        for i, x in steps.items():
+            for d in range(1, window + 1):
+                y = steps.get(i + d)
+                if y is not None:
+                    want[(x, y)] += 1
+                    want[(y, x)] += 1
+    got = {(r.center, r.context): r.pair_count
+           for r in skipgram_pairs(walks, window=window).collect()}
+    assert got == dict(want)
+    assert len(got) > 0
+
+
+def test_skipgram_rejects_bad_window(spark):
+    from pagerank_optimization_spark.operators.walks import skipgram_pairs
+
+    df = spark.createDataFrame([("a#0", 0, "a")], "walk_id string, step int, entity string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
