@@ -21,6 +21,7 @@ from pagerank_optimization_spark.operators.graph_build import build_graph, out_d
 from pagerank_optimization_spark.operators.pagerank import pagerank
 from pagerank_optimization_spark.operators.triangles import triangle_count
 from pagerank_optimization_spark.plans import oracle_sql as osql
+from pagerank_optimization_spark.operators import bursts as _bursts
 from pagerank_optimization_spark.operators import sessions as _sessions
 from pagerank_optimization_spark.plans import oracle_sql_docs as osql_docs
 from pagerank_optimization_spark.sources.transcripts import transcripts_from_events
@@ -248,6 +249,52 @@ def _q_graph_walks_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vertices, edges = _graph(spark, sf_dir)
     return random_walks(vertices, edges, 4)
+
+
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global graph profile: edge/loop counts, reciprocity
+    (reverse-edge semi-join), directed out-in degree assortativity
+    (Pearson corr over edges — Newman 2002). Two degree aggs + one
+    semi-join, single-row output, no collect."""
+    from pagerank_optimization_spark.operators.structure import graph_stats
+
+    return graph_stats(_q_edges(spark, sf_dir))
+
+
+def _q_events_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate burst detection: hourly (type, window) counts
+    z-scored against each type's own observed-window distribution,
+    windows at z ≥ 2 flagged. One map-side-combinable shuffle whose key
+    space is |types|×|windows| — the batch twin of a streaming
+    sliding-window anomaly screen."""
+    from pagerank_optimization_spark.operators.bursts import event_bursts
+
+    return event_bursts(_events(spark, sf_dir), bucket_s=3600, z_threshold=2.0)
+
+
+def _q_docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-smoothed (α=0.7) source mixing weights + epochs-per-source
+    under a 1M-token budget — the multinomial sampling table a
+    multi-source training run is configured from (Lample & Conneau
+    2019). One agg over the corpus; the per-source table
+    self-normalizes through a one-row crossJoin."""
+    from pagerank_optimization_spark.operators.sampling import source_mix_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_mix_weights(docs, alpha=0.7, token_budget=1_000_000)
+
+
+def _q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table: exact population
+    covariance (oracle path: chained posexplodes into one hash agg) + 3
+    unrolled power-iteration steps from x0=1/√d, run entirely as
+    DataFrame ops so the WHOLE query has a SQL twin. The partial-Gram
+    mapInPandas path (shuffle volume P·d² regardless of corpus size) is
+    the 100 TB covariance route, differential-tested in pytest."""
+    from pagerank_optimization_spark.operators.pca import pca_top_component
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_top_component(emb, iters=3, method="explode")
 
 
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reach_r2": _q_reach_r2,
         "graph_walks_l4": _q_graph_walks_l4,
         "graph_walk_skipgrams": _q_walk_skipgrams,
+        "graph_stats": _q_graph_stats,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
@@ -743,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "events_sessionize": _q_events_sessionize,
+        "events_bursts": _q_events_bursts,
         "events_session_stats": _q_events_session_stats,
         "events_session_window_stats": _q_events_session_window_stats,
         # portable-hash variants (oracle-checked — twins reproduce the
@@ -760,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
+        "docs_mix_weights": _q_docs_mix_weights,
         "docs_lm_score": _q_docs_lm_score,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
@@ -771,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental": _q_docs_dedup_incremental,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_pca_top": _q_emb_pca_top,
         # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
     }
@@ -799,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
+        "graph_stats": osql.graph_stats_query_sql(),
         "graph_walk_skipgrams": osql.walk_skipgrams_query_sql(
             length=4, window=2
         ),
@@ -816,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),
         "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
         "events_sessionize": _sessions.sessionize_sql(1800),
+        "events_bursts": _bursts.event_bursts_sql(bucket_s=3600, z_threshold=2.0),
         "events_session_stats": _sessions.session_stats_sql(1800),
         "events_session_window_stats": _sessions.session_window_stats_sql(1800),
         # portable-hash twins (the operators run with hasher="portable" /
@@ -844,6 +897,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
         "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),
+        "docs_mix_weights": osql_docs.docs_mix_weights_sql(
+            alpha=0.7, token_budget=1_000_000
+        ),
+        "emb_pca_top": osql_docs.emb_pca_top_sql(iters=3),
         "docs_lm_score": osql_docs.docs_lm_score_sql(k=0.5),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),

@@ -187,3 +187,71 @@ def pack_documents(
         .select("doc_id", "n_tok", "bin_id", "offset_in_bin", "spans_boundary")
     )
     return out
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.7,
+    token_budget: int | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 8,
+) -> DataFrame:
+    """Temperature-scaled source mixing weights — the multinomial
+    sampling distribution multilingual/multi-source LLM corpora train
+    under (Lample & Conneau 2019 eq. for α-smoothed sampling; the Pile /
+    LLaMA "epochs per source" table is this with an explicit budget):
+
+        p_s = (tokens_s)^α / Σ_t (tokens_t)^α
+
+    α < 1 upsamples small sources relative to their natural share; α = 1
+    is proportional sampling; α = 0 is uniform.
+
+    → (source, n_docs, total_tokens, natural_share, weight[, epochs]) —
+    ``epochs`` (how many passes over source s a ``token_budget``-token
+    training run makes: budget·p_s / tokens_s) only when a budget is
+    given.
+
+    Scale shape: one map-side-combinable agg over the corpus; the
+    per-source table (tiny) then self-normalizes through a one-row
+    crossJoin — no collect, no window."""
+    if alpha < 0:
+        raise ValueError(f"source_mix_weights: alpha must be ≥ 0, got {alpha}")
+    per_src = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_expr(F.col(text_col))).alias("total_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("total_tokens").alias("grand_tokens"),
+        F.sum(F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))).alias("z"),
+    )
+    out = per_src.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("grand_tokens"), round_to).alias(
+            "natural_share"
+        ),
+        F.round(
+            F.pow(F.col("total_tokens").cast("double"), F.lit(alpha)) / F.col("z"),
+            round_to,
+        ).alias("weight"),
+        F.col("grand_tokens"),
+        F.col("z"),
+    )
+    if token_budget is not None:
+        if token_budget <= 0:
+            raise ValueError(
+                f"source_mix_weights: token_budget must be positive, got {token_budget}"
+            )
+        out = out.withColumn(
+            "epochs",
+            F.round(
+                F.lit(float(token_budget))
+                * (F.pow(F.col("total_tokens").cast("double"), F.lit(alpha)) / F.col("z"))
+                / F.col("total_tokens"),
+                round_to,
+            ),
+        )
+    return out.drop("grand_tokens", "z")

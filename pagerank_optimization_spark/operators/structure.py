@@ -196,3 +196,54 @@ def adamic_adar_pairs(
             und.select(F.col("a"), F.col("b")), ["a", "b"], "left_anti"
         )
     return scored.select("a", "b", F.round("aa", 8).alias("aa_score"))
+
+
+def graph_stats(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
+    """One-row global graph profile: → (n_edges, n_loops, reciprocity,
+    out_in_assortativity).
+
+    - ``reciprocity``: fraction of non-loop directed edges (u, v) whose
+      reverse (v, u) also exists (Newman et al. 2002) — in a transcript
+      graph, how often interactions are two-way.
+    - ``out_in_assortativity``: Pearson correlation, over edges, of
+      (outdeg(src), indeg(dst)) — the directed out-in degree
+      assortativity (Newman, "Assortative mixing in networks", 2002).
+      Negative = hubs point at low-in-degree vertices (star-like);
+      positive = rich club. Pearson r is invariant to the sample-vs-
+      population variance convention (the n−1 factors cancel), so Spark
+      corr() ⇄ DuckDB corr() compare exactly.
+
+    Scale shape: two degree aggs (map-side combinable), two |V|-sized
+    joins onto the edge list (AQE-gated broadcast), one left-semi
+    self-join on the reversed edge for reciprocity, one global agg.
+    No windows, no collect — the output is a single row."""
+    e = edges.select("src", "dst")
+    nonloop = e.filter(F.col("src") != F.col("dst"))
+    recip = nonloop.join(
+        nonloop.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    per_edge = e.join(outdeg, "src").join(indeg, "dst")
+    counts = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_loops"),
+    )
+    stats = per_edge.agg(
+        F.corr(F.col("od").cast("double"), F.col("idg").cast("double")).alias("r")
+    )
+    nl = nonloop.agg(F.count("*").alias("n_nonloop"))
+    nr = recip.agg(F.count("*").alias("n_recip"))
+    return (
+        counts.crossJoin(nl)
+        .crossJoin(nr)
+        .crossJoin(stats)
+        .select(
+            "n_edges",
+            "n_loops",
+            F.round(F.col("n_recip") / F.col("n_nonloop"), round_to).alias("reciprocity"),
+            F.round(F.col("r"), round_to).alias("out_in_assortativity"),
+        )
+    )

@@ -838,3 +838,37 @@ dirp AS {m}(
 SELECT center, context, CAST(count(*) AS BIGINT) AS pair_count
 FROM dirp GROUP BY center, context
 """
+
+
+def graph_stats_query_sql(dialect: str = "duckdb", round_to: int = 8) -> str:
+    """n_edges, n_loops, reciprocity, out_in_assortativity — twin of
+    operators.structure.graph_stats: reciprocity over non-loop edges
+    (reverse-edge semi-join), Pearson corr of (outdeg(src), indeg(dst))
+    per edge (corr() on both engines — the sample/population factors
+    cancel in r)."""
+    m = _mat(dialect)
+    return f"""
+WITH {graph_ctes(dialect)},
+nonloop AS {m}(SELECT src, dst FROM edges WHERE src <> dst),
+recip AS {m}(
+  SELECT count(*) AS n_recip FROM nonloop a
+  WHERE EXISTS (SELECT 1 FROM nonloop b WHERE b.src = a.dst AND b.dst = a.src)
+),
+odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+ideg AS (SELECT dst, count(*) AS idg FROM edges GROUP BY dst),
+per_edge AS {m}(
+  SELECT CAST(o.od AS DOUBLE) AS od, CAST(i.idg AS DOUBLE) AS idg
+  FROM edges e JOIN odeg o ON e.src = o.src JOIN ideg i ON e.dst = i.dst
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(coalesce(sum(CASE WHEN src = dst THEN 1 END), 0) AS BIGINT) AS n_loops
+  FROM edges
+),
+nl AS (SELECT CAST(count(*) AS DOUBLE) AS n_nonloop FROM nonloop),
+r AS (SELECT corr(od, idg) AS r FROM per_edge)
+SELECT counts.n_edges, counts.n_loops,
+       round(recip.n_recip / nl.n_nonloop, {round_to}) AS reciprocity,
+       round(r.r, {round_to}) AS out_in_assortativity
+FROM counts, recip, nl, r
+"""

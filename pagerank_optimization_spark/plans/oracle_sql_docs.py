@@ -1121,3 +1121,72 @@ SELECT source,
        round(quantile_cont(n_tok, 0.99), 6) AS p99_tok
 FROM per_doc GROUP BY source
 """
+
+
+def docs_mix_weights_sql(
+    alpha: float = 0.7, token_budget: int = 1_000_000, round_to: int = 8
+) -> str:
+    """source, n_docs, total_tokens, natural_share, weight, epochs —
+    twin of operators.sampling.source_mix_weights: α-smoothed multinomial
+    mixing weights p_s = tokens_s^α / Σ tokens_t^α and epochs-per-source
+    under a token budget; same tokenizer (TOKS)."""
+    return rf"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(total_tokens) AS DOUBLE) AS grand,
+         sum(pow(CAST(total_tokens AS DOUBLE), {alpha})) AS z
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       round(total_tokens / grand, {round_to}) AS natural_share,
+       round(pow(CAST(total_tokens AS DOUBLE), {alpha}) / z, {round_to}) AS weight,
+       round({float(token_budget)} * (pow(CAST(total_tokens AS DOUBLE), {alpha}) / z)
+             / total_tokens, {round_to}) AS epochs
+FROM per_src CROSS JOIN tot
+"""
+
+
+def emb_pca_top_sql(iters: int = 3, round_to: int = 6) -> str:
+    """pos, loading — twin of operators.pca.pca_top_component
+    (method='explode'): population covariance via an el⋈el self-join on
+    vec_id, then ``iters`` unrolled power-iteration steps from
+    x0 = 1/√d with L2 normalization per step (identical arithmetic,
+    identical positive start → identical sign)."""
+    steps = []
+    for t in range(1, iters + 1):
+        p = f"x{t - 1}"
+        steps.append(f"""
+y{t} AS MATERIALIZED (
+  SELECT c.i AS pos, sum(c.cov * x.xv) AS yv
+  FROM cov c JOIN {p} x ON c.j = x.pos GROUP BY c.i
+),
+nrm{t} AS (SELECT sqrt(sum(yv * yv)) AS nrm FROM y{t}),
+x{t} AS MATERIALIZED (SELECT pos, yv / nrm AS xv FROM y{t}, nrm{t})""")
+    body = ",\n".join(steps)
+    return rf"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+el AS MATERIALIZED (
+  -- CAST to INTEGER: Spark's posexplode pos is int32 and the driver's
+  -- value hash is byte-sensitive to width (sessionize_sql precedent)
+  SELECT vec_id, CAST(u.s.p - 1 AS INTEGER) AS p, u.s.x AS x
+  FROM v, unnest(list_transform(range(1, len(e) + 1),
+       k -> struct_pack(p := k, x := e[k]))) AS u(s)
+),
+cov AS MATERIALIZED (
+  SELECT a.p AS i, b.p AS j,
+         sum(a.x * b.x) / nn.n - (sum(a.x) / nn.n) * (sum(b.x) / nn.n) AS cov
+  FROM el a JOIN el b USING (vec_id) CROSS JOIN nn
+  GROUP BY a.p, b.p, nn.n
+),
+dd AS (SELECT CAST(max(i) + 1 AS DOUBLE) AS d FROM cov),
+x0 AS MATERIALIZED (SELECT DISTINCT i AS pos, 1.0 / sqrt(d) AS xv FROM cov, dd),
+{body}
+SELECT pos, round(xv, {round_to}) AS loading FROM x{iters}
+"""

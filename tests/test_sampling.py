@@ -150,3 +150,48 @@ def test_pack_bins_are_dense_and_ordered(docs):
 def test_pack_budget_validation(docs):
     with pytest.raises(ValueError):
         pack_documents(docs, 0)
+
+
+def test_source_mix_weights_match_python(spark):
+    from pagerank_optimization_spark.operators.sampling import source_mix_weights
+
+    rows = [(i, "tok " * (5 + i % 4), ["web", "code", "chat"][i % 3], "en")
+            for i in range(45)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    got = {r.source: r for r in
+           source_mix_weights(docs, alpha=0.7, token_budget=10_000).collect()}
+    tok = {}
+    nd = {}
+    for _i, t, s, _l in rows:
+        tok[s] = tok.get(s, 0) + len(t.split())
+        nd[s] = nd.get(s, 0) + 1
+    grand = sum(tok.values())
+    z = sum(v**0.7 for v in tok.values())
+    assert set(got) == set(tok)
+    for s, r in got.items():
+        assert r.n_docs == nd[s] and r.total_tokens == tok[s]
+        assert abs(r.natural_share - round(tok[s] / grand, 8)) < 1e-12
+        w = tok[s] ** 0.7 / z
+        assert abs(r.weight - round(w, 8)) < 1e-12
+        assert abs(r.epochs - round(10_000 * w / tok[s], 8)) < 1e-12
+    # weights sum to 1; alpha<1 upsamples the smallest source
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-6
+    smallest = min(tok, key=tok.get)
+    assert got[smallest].weight > tok[smallest] / grand - 1e-12
+
+
+def test_source_mix_weights_alpha_extremes(spark):
+    from pagerank_optimization_spark.operators.sampling import source_mix_weights
+
+    rows = [(0, "a " * 10, "s1", "en"), (1, "a " * 90, "s2", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    # alpha=1: natural shares
+    w1 = {r.source: r.weight for r in source_mix_weights(docs, alpha=1.0).collect()}
+    assert abs(w1["s1"] - 0.1) < 1e-9 and abs(w1["s2"] - 0.9) < 1e-9
+    # alpha=0: uniform
+    w0 = {r.source: r.weight for r in source_mix_weights(docs, alpha=0.0).collect()}
+    assert abs(w0["s1"] - 0.5) < 1e-9 and abs(w0["s2"] - 0.5) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        source_mix_weights(docs, alpha=-0.1)

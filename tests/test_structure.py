@@ -201,3 +201,29 @@ def test_adamic_adar_hub_vote_is_discounted(spark):
     e = spark.createDataFrame(rows, "src string, dst string")
     got = {(r.a, r.b): r.aa_score for r in adamic_adar_pairs(e).collect()}
     assert got[("p", "q")] > got[("a", "b")]
+
+
+def test_graph_stats_match_python(spark):
+    from pagerank_optimization_spark.operators.structure import graph_stats
+
+    edges = [
+        ("a", "b"), ("b", "a"),          # reciprocal pair
+        ("a", "c"), ("c", "d"), ("d", "a"),
+        ("b", "b"),                        # self-loop
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = graph_stats(df).collect()[0]
+    assert r.n_edges == 6 and r.n_loops == 1
+    # non-loop edges: 5; reciprocated: (a,b) and (b,a) -> 2/5
+    assert abs(r.reciprocity - 0.4) < 1e-12
+    import numpy as np
+
+    od = {}
+    idg = {}
+    for s, d in edges:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    xs = np.array([od[s] for s, d in edges], dtype=float)
+    ys = np.array([idg[d] for s, d in edges], dtype=float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r.out_in_assortativity - round(float(want), 8)) < 1e-9
