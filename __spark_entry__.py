@@ -387,6 +387,26 @@ def _q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs, k=0.5)
 
 
+def _q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, 8-token
+    overlap) — the context-window prep between cleaning and packing.
+    Pure per-row array algebra: zero shuffles, composes with the scan."""
+    from pagerank_optimization_spark.operators.sampling import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit over the embeddings table:
+    per-vector scale + reconstruction MSE/L∞ (explicit half-up rounding
+    pins the tie rule across engines). Zero shuffles."""
+    from pagerank_optimization_spark.operators.vectorize import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
 def _q_docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (doc count, token volume, mean chars,
     exact p50/p90/p99 token counts) — the data-mixing report; exact
@@ -810,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
         "docs_mix_weights": _q_docs_mix_weights,
+        "docs_chunks": _q_docs_chunks,
         "docs_lm_score": _q_docs_lm_score,
         "docs_quality_sample": _q_docs_quality_sample,
         "docs_pii_redact": _q_docs_pii_redact,
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_pca_top": _q_emb_pca_top,
+        "emb_quantize": _q_emb_quantize,
         # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
     }
@@ -901,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
             alpha=0.7, token_budget=1_000_000
         ),
         "emb_pca_top": osql_docs.emb_pca_top_sql(iters=3),
+        "emb_quantize": osql_docs.emb_quantize_sql(),
+        "docs_chunks": osql_docs.docs_chunks_sql(chunk_tokens=32, overlap=8),
         "docs_lm_score": osql_docs.docs_lm_score_sql(k=0.5),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),
         "docs_pii_redact": osql_docs.docs_pii_redact_sql(inject_every=7),

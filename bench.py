@@ -431,6 +431,15 @@ def main() -> None:
         )
         pipe["profile_docs_per_sec"] = round(n_docs / queries["pipe_corpus_profile"])
 
+        from pagerank_optimization_spark.operators.sampling import chunk_documents
+
+        timed_min(
+            "pipe_chunks",
+            lambda: chunk_documents(docs, chunk_tokens=128, overlap=16).count(),
+            n=oneshot_trials,
+        )
+        pipe["chunk_docs_per_sec"] = round(n_docs / queries["pipe_chunks"])
+
         from pagerank_optimization_spark.operators.quality import dedup_lines
 
         dl_caps: dict[str, int] = {}

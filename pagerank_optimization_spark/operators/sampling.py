@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count_expr
+from ..functions.text import token_count_expr, tokens_expr as tokens_expr_ref
 
 SAMPLE_DENOM = 1_000_000
 
@@ -255,3 +255,73 @@ def source_mix_weights(
             ),
         )
     return out.drop("grand_tokens", "z")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap
+    — the context-window prep step between cleaning and packing (chunk
+    long documents first, THEN pack_documents bins the chunks):
+
+    chunk c covers tokens [c·stride, c·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; chunks are emitted while their
+    start is inside the document, so the last chunk may be short
+    (``min_tokens`` drops degenerate tails; an ``overlap`` tail that is
+    only re-served tokens is still emitted if ≥ min_tokens — standard
+    sliding-window convention).
+
+    → (doc_id, chunk_idx, n_tok, chunk_text), chunk_text re-joined with
+    single spaces (token-space reconstruction — the downstream tokenizer
+    re-splits on whitespace, so this is lossless for training purposes;
+    byte-exact original spans are the packing operator's business).
+
+    Scale shape: pure array algebra per row (sequence → explode →
+    slice → array_join) inside whole-stage codegen; output rows ≈
+    corpus_tokens / stride. No shuffle at all — chunking composes with
+    the parquet scan."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_documents: chunk_tokens must be ≥ 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), token_count_expr(F.col(text_col)).alias("n"),
+        tokens_expr_ref(F.col(text_col)).alias("ts"),
+    )
+    n_chunks = F.when(F.col("n") <= 0, F.lit(0)).otherwise(
+        F.floor((F.col("n") - 1) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = (
+        toks.withColumn("nch", n_chunks)
+        .filter(F.col("nch") > 0)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "ts", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tok"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tok") >= min_tokens)
+    )

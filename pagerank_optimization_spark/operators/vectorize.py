@@ -77,3 +77,60 @@ def hashed_tfidf(
         .select("doc_id", zeros.alias("vector"))
     )
     return dense.unionByName(empty)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Int8 symmetric scalar quantization audit — the compression step an
+    ANN index applies before sharding (4× memory over float32, ~16× over
+    the float64 compute form), reported as per-vector reconstruction
+    error so a pipeline can gate quantization on measured loss:
+
+        scale = max_i |x_i| / 127
+        q_i   = floor(x_i / scale + 0.5)   (explicit half-up — Spark's
+                round() is HALF_UP but DuckDB's is banker's, so the twin
+                pins the tie rule arithmetically instead)
+        err_i = x_i − q_i · scale
+
+    → (vec_id, scale, mse, linf), one row per vector; all-zero vectors
+    short-circuit to zeros (identical CASE guard on both sides).
+
+    Scale shape: pure per-row array expressions (transform/aggregate)
+    inside whole-stage codegen — zero shuffles, composes with the scan."""
+    e = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), e.alias("e"), (amax / F.lit(127.0)).alias("scale")
+    )
+    er = v.select(
+        "vec_id",
+        "scale",
+        F.when(
+            F.col("scale") == 0, F.transform("e", lambda x: F.lit(0.0))
+        ).otherwise(
+            F.transform(
+                "e",
+                lambda x: x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+            )
+        ).alias("er"),
+        F.size("e").alias("d"),
+    )
+    return er.select(
+        "vec_id",
+        F.round("scale", round_to).alias("scale"),
+        F.round(
+            F.aggregate("er", F.lit(0.0), lambda a, x: a + x * x) / F.col("d"),
+            round_to,
+        ).alias("mse"),
+        F.round(
+            F.aggregate("er", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+            round_to,
+        ).alias("linf"),
+    )

@@ -1190,3 +1190,59 @@ x0 AS MATERIALIZED (SELECT DISTINCT i AS pos, 1.0 / sqrt(d) AS xv FROM cov, dd),
 {body}
 SELECT pos, round(xv, {round_to}) AS loading FROM x{iters}
 """
+
+
+def docs_chunks_sql(
+    chunk_tokens: int = 128, overlap: int = 0, min_tokens: int = 1
+) -> str:
+    """doc_id, chunk_idx, n_tok, chunk_text — twin of
+    operators.sampling.chunk_documents: same tokenizer (TOKS), same
+    sliding window (stride = chunk_tokens − overlap, chunks start while
+    inside the document, short tails kept if ≥ min_tokens), token-space
+    reassembly with single spaces. list_slice clamps past the end like
+    Spark's slice; INTEGER casts mirror Spark's int32 sequence/size."""
+    stride = chunk_tokens - overlap
+    return rf"""
+WITH cs AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS c, len({TOKS}) AS n FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+         list_slice(c, u.i * {stride} + 1, u.i * {stride} + {chunk_tokens}) AS chunk
+  FROM cs, unnest(range(0, CASE WHEN n <= 0 THEN 0 ELSE (n - 1) // {stride} + 1 END)) AS u(i)
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tok,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM ch WHERE len(chunk) >= {min_tokens}
+"""
+
+
+def emb_quantize_sql(round_to: int = 8) -> str:
+    """vec_id, scale, mse, linf — twin of
+    operators.vectorize.quantize_embeddings: int8 symmetric scalar
+    quantization (scale = max|x|/127, q = floor(x/scale + 0.5) —
+    explicit half-up so both engines round identically), reconstruction
+    error stats; all-zero vectors short-circuit to zeros via the same
+    CASE guard."""
+    return rf"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+s AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e, x -> x - floor(x / scale + 0.5) * scale)
+         END AS er,
+         len(e) AS d
+  FROM s
+)
+SELECT vec_id,
+       round(scale, {round_to}) AS scale,
+       round(list_sum(list_transform(er, x -> x * x)) / d, {round_to}) AS mse,
+       round(list_max(list_transform(er, x -> abs(x))), {round_to}) AS linf
+FROM err
+"""

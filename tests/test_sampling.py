@@ -195,3 +195,50 @@ def test_source_mix_weights_alpha_extremes(spark):
 
     with _pytest.raises(ValueError):
         source_mix_weights(docs, alpha=-0.1)
+
+
+def test_chunk_documents_matches_python(spark):
+    from pagerank_optimization_spark.operators.sampling import chunk_documents
+
+    texts = {
+        0: "a b c d e f g h i j",   # 10 toks
+        1: "one two three",          # 3 toks
+        2: "",                       # empty -> no chunks
+        3: "solo",                   # 1 tok
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.n_tok, r.chunk_text)
+           for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()}
+    want = {}
+    stride = 3
+    for did, t in texts.items():
+        toks = t.split()
+        i = 0
+        idx = 0
+        while i < len(toks):
+            ch = toks[i:i + 4]
+            want[(did, idx)] = (len(ch), " ".join(ch))
+            i += stride
+            idx += 1
+    assert got == want
+    # every token position is covered; consecutive chunks overlap by 1
+    r0 = got[(0, 0)][1].split(); r1 = got[(0, 1)][1].split()
+    assert r0[-1] == r1[0]
+
+
+def test_chunk_documents_no_overlap_and_guards(spark):
+    from pagerank_optimization_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, chunk_tokens=2, overlap=0).collect(),
+                  key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in rows] == ["a b", "c d", "e"]
+    # min_tokens drops the short tail
+    rows2 = chunk_documents(docs, chunk_tokens=2, overlap=0, min_tokens=2).collect()
+    assert len(rows2) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -77,3 +77,28 @@ def test_feeds_similarity_family(docs, spark):
 def test_validation(docs):
     with pytest.raises(ValueError):
         hashed_tfidf(docs, 0)
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from pagerank_optimization_spark.operators.vectorize import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    x = np.float32(rng.normal(size=(40, 16)) * 5)
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    rows.append((999, [0.0] * 16))  # all-zero guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, rvec in enumerate(np.float64(x)):
+        scale = np.abs(rvec).max() / 127.0
+        q = np.floor(rvec / scale + 0.5)
+        err = rvec - q * scale
+        r = got[i]
+        assert abs(r.scale - round(scale, 8)) < 1e-12
+        assert abs(r.mse - round(float((err ** 2).mean()), 8)) < 1e-12
+        assert abs(r.linf - round(float(np.abs(err).max()), 8)) < 1e-12
+        # int8 reconstruction is within half a quantization step
+        assert r.linf <= scale / 2 + 1e-12
+    z = got[999]
+    assert (z.scale, z.mse, z.linf) == (0.0, 0.0, 0.0)
