@@ -64,3 +64,65 @@ def test_walk_step_has_no_global_funnel(spark):
     out = random_walks(v, e, 2, partitions=4)
     plan = physical_plan(out)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_chunk_documents_is_scan_side_only(docs):
+    from pagerank_optimization_spark.operators.sampling import chunk_documents
+
+    plan = physical_plan(chunk_documents(docs, chunk_tokens=64, overlap=8))
+    assert "Exchange" not in plan, "chunking must compose with the scan"
+    assert "Python" not in plan, "chunking must stay JVM-side"
+
+
+def test_quantize_embeddings_is_scan_side_only(spark):
+    from pagerank_optimization_spark.operators.vectorize import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = physical_plan(quantize_embeddings(emb))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pmi_pairs_no_python_and_partial_agg(docs):
+    from pagerank_optimization_spark.operators.cooccur import pmi_pairs
+
+    df = pmi_pairs(docs, window=2, min_count=5)
+    plan = physical_plan(df)
+    assert "Python" not in plan, "PMI must be pure array algebra + aggs"
+    assert_partial_aggregation(df)
+
+
+def test_lm_scores_no_python_and_partial_agg(docs):
+    from pagerank_optimization_spark.operators.lm import unigram_lm_scores
+
+    df = unigram_lm_scores(docs, k=0.5)
+    plan = physical_plan(df)
+    assert "Python" not in plan
+    assert_partial_aggregation(df)
+
+
+def test_burst_counts_partial_agg_and_no_window_fn(spark):
+    from pagerank_optimization_spark.operators.bursts import event_bursts
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    df = event_bursts(events, bucket_s=3600, z_threshold=2.0)
+    plan = physical_plan(df)
+    assert "Window" not in plan, "bursts must use aggs, not window functions"
+    assert "Python" not in plan
+    assert_partial_aggregation(df)
+
+
+def test_corpus_profile_sketch_path_has_partial_agg(docs):
+    from pagerank_optimization_spark.operators.quality import corpus_profile
+
+    # the 100 TB path: approx_percentile is map-side combinable;
+    # the exact path intentionally is not (oracle mode only)
+    assert_partial_aggregation(corpus_profile(docs, exact=False))
+
+
+def test_mix_weights_partial_agg(docs):
+    from pagerank_optimization_spark.operators.sampling import source_mix_weights
+
+    df = source_mix_weights(docs, alpha=0.7)
+    assert "Python" not in physical_plan(df)
+    assert_partial_aggregation(df)
