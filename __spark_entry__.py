@@ -429,6 +429,18 @@ def _q_docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, window=2, min_count=5)
 
 
+def _q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING: the first 8 learned merge rules (Sennrich
+    et al.) as a distributed fixed-point loop — corpus scanned once into
+    the word-frequency table, each merge iterates over |vocab| rows
+    only (pair count → TakeOrdered top-1 → greedy-leftmost fold, the
+    winner riding a one-row crossJoin; no collect, no Python)."""
+    from pagerank_optimization_spark.operators.vocab import bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train_merges(docs, 8)
+
+
 def _q_docs_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed TF-IDF vectors (dim 32), compared on the nonzero
     cells: the assembled array<double> is posexploded back to
@@ -826,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
@@ -916,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
+        "docs_bpe_merges": osql_docs.docs_bpe_merges_sql(8),
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
         "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),

@@ -125,3 +125,103 @@ def bpe_pair_counts(
             W.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
         ),
     )
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    n_merges: int = 8,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING — the first ``n_merges`` merge rules
+    (Sennrich et al. 2016), learned as a distributed fixed-point loop:
+
+    → DataFrame(rank, left, right, pair_count): merge i joined the
+    symbol pair (left, right) whose corpus-weighted adjacent count was
+    maximal at step i (ties: count DESC, left ASC, right ASC — a total
+    order, so training is deterministic).
+
+    The classic scalability structure: the corpus is scanned ONCE into
+    the word-frequency table (map-side-combinable groupBy — the only
+    100 TB-sized pass), then every merge iteration runs over the
+    |vocab|-sized symbolized-word table: count adjacent symbol pairs
+    (weighted by word freq), take the top pair (TakeOrdered on a tiny
+    table), and apply the merge per word with a greedy-leftmost fold —
+    pure string/array algebra, no Python, no collect (the winning pair
+    rides a one-row crossJoin into the next round's fold, and each
+    round's table is localCheckpointed so the plan stays O(1) in the
+    merge count — the walks.py loop discipline).
+
+    Words are carried as space-delimited symbol strings (symbols never
+    contain spaces: the tokenizer splits on \\s+). The fold reproduces
+    canonical greedy-leftmost BPE: "aaa" under merge (a,a) → "aa a",
+    "abab" under (a,b) → "ab ab". If every word collapses to a single
+    symbol before ``n_merges`` rounds, the remaining rounds emit no rows
+    (the twin behaves identically).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"bpe_train_merges: n_merges must be positive, got {n_merges}")
+    words = (
+        documents.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = words.select(
+        F.array_join(F.filter(F.split("word", ""), lambda c: c != ""), " ").alias("w"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for i in range(1, n_merges + 1):
+        parts = F.split("w", " ")
+        n1 = F.greatest(F.size(parts) - F.lit(1), F.lit(0))
+        pairs = (
+            w.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(parts, 1, n1).alias("l"),
+                        F.slice(parts, 2, n1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            top.select(F.lit(i).alias("rank"), "left", "right", "pair_count")
+        )
+
+        def _fold(acc, x):
+            accp = F.split(acc, " ")
+            merged = F.array_join(
+                F.concat(
+                    F.slice(accp, 1, F.size(accp) - 1),
+                    F.array(F.concat(F.col("left"), F.col("right"))),
+                ),
+                " ",
+            )
+            return (
+                F.when(acc == "", x)
+                .when(
+                    (F.element_at(accp, -1) == F.col("left")) & (x == F.col("right")),
+                    merged,
+                )
+                .otherwise(F.concat(acc, F.lit(" "), x))
+            )
+
+        w = (
+            w.crossJoin(top.select("left", "right"))
+            .select(F.aggregate(F.split("w", " "), F.lit(""), _fold).alias("w"), "freq")
+            .localCheckpoint(eager=True)
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1246,3 +1246,56 @@ SELECT vec_id,
        round(list_max(list_transform(er, x -> abs(x))), {round_to}) AS linf
 FROM err
 """
+
+
+def docs_bpe_merges_sql(n_merges: int = 8) -> str:
+    """rank, left, right, pair_count — twin of
+    operators.vocab.bpe_train_merges: same word-frequency collapse, same
+    adjacent-pair counts, same (count DESC, left, right) winner, same
+    greedy-leftmost fold (list_reduce with a ''-prepended accumulator —
+    validated to reproduce canonical BPE merge semantics: 'aaa' under
+    (a,a) → 'aa a'). Rounds where every word is a single symbol emit no
+    row, exactly like the Spark loop."""
+    steps = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKS}) AS word FROM documents) GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS w,
+         freq
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        steps.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT u.p.l AS "left", u.p.r AS "right", CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(w, ' ') AS s, freq FROM w{p}),
+       unnest(list_transform(range(1, len(s)),
+              j -> struct_pack(l := s[j], r := s[j+1]))) AS u(p)
+  GROUP BY 1, 2
+),
+t{i} AS MATERIALIZED (
+  SELECT "left", "right", pair_count FROM p{i}
+  ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT list_reduce(
+    list_prepend('', string_split(w, ' ')),
+    (acc, x) -> CASE
+      WHEN acc = '' THEN x
+      WHEN list_extract(string_split(acc, ' '), len(string_split(acc, ' '))) = t."left"
+           AND x = t."right"
+        THEN substr(acc, 1, length(acc) - length(t."left")) || t."left" || t."right"
+      ELSE acc || ' ' || x END
+  ) AS w, freq
+  FROM w{p} CROSS JOIN t{i} t
+)""")
+    body = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS rank, "left", "right", pair_count FROM t{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {body}\n{union}"

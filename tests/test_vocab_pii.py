@@ -163,3 +163,85 @@ def test_bpe_pairs_single_char_words_contribute_nothing(spark):
     )
     got = bpe_pair_counts(d, 10).collect()
     assert [(g.left, g.right, g.pair_count) for g in got] == [("a", "b", 1)]
+
+
+def _py_bpe_merges(word_freqs, n):
+    """Reference BPE trainer (Sennrich et al., greedy-leftmost merge)."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n):
+        pairs = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, cnt))
+        new = {}
+        for syms, f in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_train_merges_sennrich_example(spark):
+    from pagerank_optimization_spark.operators.vocab import bpe_train_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = sorted(
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs, 5).collect()
+    )
+    # canonical sequence under (count DESC, left, right) tie-break
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),
+    ]
+
+
+def test_bpe_train_merges_matches_reference_impl(spark):
+    from collections import Counter
+
+    from pagerank_optimization_spark.operators.vocab import bpe_train_merges
+
+    texts = ["the cat catches catnip", "banana bandana", "aaa abab the the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = Counter(w for t in texts for w in t.split())
+    want = [
+        (i + 1, l, r, c)
+        for i, (l, r, c) in enumerate(_py_bpe_merges(dict(wf), 6))
+    ]
+    got = sorted(
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs, 6).collect()
+    )
+    assert got == want
+
+
+def test_bpe_train_merges_greedy_leftmost_and_exhaustion(spark):
+    from pagerank_optimization_spark.operators.vocab import bpe_train_merges
+
+    # 'aaaa' exhausts: (a,a)x3 -> 'aa aa' -> (aa,aa) -> 'aaaa' -> no pairs
+    docs = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    got = sorted(
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs, 4).collect()
+    )
+    assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]  # rounds 3-4 emit nothing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train_merges(docs, 0)
