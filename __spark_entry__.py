@@ -24,6 +24,7 @@ from pagerank_optimization_spark.plans import oracle_sql as osql
 from pagerank_optimization_spark.operators import bursts as _bursts
 from pagerank_optimization_spark.operators import sessions as _sessions
 from pagerank_optimization_spark.plans import oracle_sql_docs as osql_docs
+from pagerank_optimization_spark.sources import transcripts as _tsql
 from pagerank_optimization_spark.sources.transcripts import transcripts_from_events
 
 EMB_QUERY_IDS = [0, 7, 42]
@@ -295,6 +296,22 @@ def _q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pca_top_component(emb, iters=3, method="explode")
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned out-degree distribution — the one-glance power-law
+    check; two map-side-combinable aggs, ~64 integer rows out."""
+    from pagerank_optimization_spark.operators.structure import degree_histogram
+
+    return degree_histogram(_q_edges(spark, sf_dir), direction="out")
+
+
+def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transcript profile (turns, tool calls, distinct
+    tools, NTZ-safe duration) — one bounded-key agg."""
+    from pagerank_optimization_spark.operators.sessions import conversation_stats
+
+    return conversation_stats(transcripts_from_events(_events(spark, sf_dir)))
 
 
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # graph suite (oracle-checked)
         "transcripts_derived": _q_transcripts,
+        "transcripts_conv_stats": _q_conv_stats,
         "graph_edges": _q_edges,
         "graph_outdegree": _q_outdegree,
         "graph_pagerank_k5": _q_pagerank_k5,
@@ -813,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_l4": _q_graph_walks_l4,
         "graph_walk_skipgrams": _q_walk_skipgrams,
         "graph_stats": _q_graph_stats,
+        "graph_degree_hist": _q_degree_histogram,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
@@ -886,6 +905,13 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "graph_stats": osql.graph_stats_query_sql(),
+        "graph_degree_hist": osql.degree_histogram_query_sql("out"),
+        "transcripts_conv_stats": (
+            "WITH transcripts AS ("
+            + _tsql.transcripts_from_events_sql("events")
+            + ") "
+            + _sessions.conversation_stats_sql()
+        ),
         "graph_walk_skipgrams": osql.walk_skipgrams_query_sql(
             length=4, window=2
         ),

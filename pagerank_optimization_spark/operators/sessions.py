@@ -171,3 +171,43 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, sid
 """
+
+
+def conversation_stats(transcripts: DataFrame, *, round_to: int = 3) -> DataFrame:
+    """Per-conversation transcript profile — the conversation-level
+    analog of session_stats: → (conv_id, n_turns, n_user_turns,
+    n_tool_calls, n_distinct_tools, duration_s).
+
+    One map-side-combinable agg keyed by conv_id (conversations are
+    bounded — max_turns-capped — so there is no hot-key hazard by
+    construction); duration in NTZ-safe epoch seconds (_epoch_s)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        F.sum(
+            ((F.col("role") == "assistant") & F.col("tool").isNotNull()).cast("long")
+        ).alias("n_tool_calls"),
+        F.count_distinct(
+            F.when(
+                (F.col("role") == "assistant") & F.col("tool").isNotNull(),
+                F.col("tool"),
+            )
+        ).alias("n_distinct_tools"),
+        F.round(
+            F.max(_epoch_s(F.col("ts"))) - F.min(_epoch_s(F.col("ts"))), round_to
+        ).alias("duration_s"),
+    )
+
+
+def conversation_stats_sql(round_to: int = 3, dialect: str = "duckdb") -> str:
+    """DuckDB twin of conversation_stats over the derived transcripts
+    CTE (caller supplies the transcripts CTE; epoch_us/1e6 ⇄ _epoch_s)."""
+    return f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(CASE WHEN role = 'user' THEN 1 END), 0) AS BIGINT) AS n_user_turns,
+       CAST(coalesce(sum(CASE WHEN role = 'assistant' AND tool IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_tool_calls,
+       CAST(count(DISTINCT CASE WHEN role = 'assistant' AND tool IS NOT NULL THEN tool END) AS BIGINT) AS n_distinct_tools,
+       round(max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0), {round_to}) AS duration_s
+FROM transcripts GROUP BY conv_id
+"""

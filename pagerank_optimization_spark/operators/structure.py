@@ -247,3 +247,39 @@ def graph_stats(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
             F.round(F.col("r"), round_to).alias("out_in_assortativity"),
         )
     )
+
+
+def degree_histogram(edges: DataFrame, *, direction: str = "out") -> DataFrame:
+    """Log2-binned degree distribution — the one-glance power-law check
+    for a web-scale graph: → (bucket, degree_lo, n_vertices) where
+    bucket = floor(log2(deg)) and degree_lo = 2^bucket (so bucket b
+    covers degrees [2^b, 2^(b+1))).
+
+    ``direction``: "out" (degree on src), "in" (dst), or "und"
+    (symmetrized, self-loops dropped). Two map-side-combinable aggs —
+    degree per vertex, then count per bucket (≤ ~64 rows out, exact
+    integers, hash-exact across engines). The vertex-degree shuffle is
+    the graph build's existing key; no windows, no collect."""
+    if direction == "out":
+        keyed = edges.select(F.col("src").alias("v"))
+    elif direction == "in":
+        keyed = edges.select(F.col("dst").alias("v"))
+    elif direction == "und":
+        from .components import symmetrize
+
+        keyed = symmetrize(edges).filter(F.col("a") != F.col("b")).select(
+            F.col("a").alias("v")
+        )
+    else:
+        raise ValueError(f"degree_histogram: unknown direction {direction!r}")
+    deg = keyed.groupBy("v").agg(F.count("*").alias("deg"))
+    return (
+        deg.select(F.floor(F.log2("deg")).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vertices"))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("degree_lo"),
+            "n_vertices",
+        )
+    )

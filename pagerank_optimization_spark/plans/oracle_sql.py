@@ -872,3 +872,27 @@ SELECT counts.n_edges, counts.n_loops,
        round(r.r, {round_to}) AS out_in_assortativity
 FROM counts, recip, nl, r
 """
+
+
+def degree_histogram_query_sql(direction: str = "out", dialect: str = "duckdb") -> str:
+    """bucket, degree_lo, n_vertices — twin of
+    operators.structure.degree_histogram (log2 of exact powers of two is
+    exact in float64, so floor(log2(deg)) bins identically)."""
+    m = _mat(dialect)
+    if direction == "out":
+        keyed = "SELECT src AS v FROM edges"
+    elif direction == "in":
+        keyed = "SELECT dst AS v FROM edges"
+    else:
+        keyed = (
+            "SELECT a AS v FROM (SELECT src AS a, dst AS b FROM edges "
+            "UNION SELECT dst AS a, src AS b FROM edges) u WHERE a <> b"
+        )
+    return f"""
+WITH {graph_ctes(dialect)},
+deg AS {m}(SELECT v, count(*) AS deg FROM ({keyed}) k GROUP BY v)
+SELECT CAST(floor(log2(deg)) AS INTEGER) AS bucket,
+       CAST(pow(2.0, floor(log2(deg))) AS BIGINT) AS degree_lo,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1, 2
+"""

@@ -75,3 +75,30 @@ def test_linkgraph_facade(spark):
         .count()
     )
     assert g2.vertices.count() == v_no_iso
+
+
+def test_conversation_stats_match_python(spark):
+    import datetime
+
+    from pagerank_optimization_spark.operators.sessions import conversation_stats
+    from pagerank_optimization_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    rows = [
+        ("c1", 0, "user", "t", None, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "t", "search", datetime.datetime(2024, 1, 1, 0, 1, 30)),
+        ("c1", 2, "user", "t", None, datetime.datetime(2024, 1, 1, 0, 2, 0)),
+        ("c1", 3, "assistant", "t", "search", datetime.datetime(2024, 1, 1, 0, 5, 0)),
+        ("c1", 4, "assistant", "t", "pay", datetime.datetime(2024, 1, 1, 0, 6, 0)),
+        ("c2", 0, "user", "t", None, datetime.datetime(2024, 2, 2, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, f"{c}:{i}", t, ts) for c, i, r, _x, t, ts in rows],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    got = {r.conv_id: r for r in conversation_stats(df).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.n_user_turns, c1.n_tool_calls, c1.n_distinct_tools) == (5, 2, 3, 2)
+    assert c1.duration_s == 360.0
+    c2 = got["c2"]
+    assert (c2.n_turns, c2.n_user_turns, c2.n_tool_calls, c2.n_distinct_tools) == (1, 1, 0, 0)
+    assert c2.duration_s == 0.0

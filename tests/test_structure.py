@@ -227,3 +227,25 @@ def test_graph_stats_match_python(spark):
     ys = np.array([idg[d] for s, d in edges], dtype=float)
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(r.out_in_assortativity - round(float(want), 8)) < 1e-9
+
+
+def test_degree_histogram_matches_python(spark):
+    from collections import Counter
+    from math import log2
+
+    from pagerank_optimization_spark.operators.structure import degree_histogram
+
+    edges = [("a", "x%d" % i) for i in range(5)] + [("b", "y0")] + [
+        ("c", "z%d" % i) for i in range(2)
+    ] + [("d", "w%d" % i) for i in range(16)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for direction, key in [("out", 0), ("in", 1)]:
+        got = {r.bucket: (r.degree_lo, r.n_vertices)
+               for r in degree_histogram(df, direction=direction).collect()}
+        deg = Counter(e[key] for e in edges)
+        want = Counter(int(log2(d)) for d in deg.values())
+        assert got == {b: (2 ** b, n) for b, n in want.items()}, direction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        degree_histogram(df, direction="sideways")
