@@ -298,6 +298,24 @@ def _q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(emb, iters=3, method="explode")
 
 
+def _q_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between plain and recency-weighted
+    PageRank — "does WHO matters change when we ask who matters LATELY"
+    as one number. Ranking via the distributed two-level prefix scan
+    (operators.ranking.global_rank — no single-partition window), ρ =
+    corr of the deterministic (round(pr,8) DESC, entity) rank columns."""
+    from pagerank_optimization_spark.operators.ranking import (
+        spearman_rank_correlation,
+    )
+
+    t = transcripts_from_events(_events(spark, sf_dir))
+    v1, e1 = build_graph(t)
+    res_a = pagerank(v1, e1, fixed_iters=5)
+    v2, e2 = build_graph(t, edge_weights="decay", decay_halflife_s=259200.0)
+    res_b = pagerank(v2, e2, fixed_iters=5)
+    return spearman_rank_correlation(res_a.ranks, res_b.ranks)
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-binned out-degree distribution — the one-glance power-law
     check; two map-side-combinable aggs, ~64 integer rows out."""
@@ -832,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walk_skipgrams": _q_walk_skipgrams,
         "graph_stats": _q_graph_stats,
         "graph_degree_hist": _q_degree_histogram,
+        "graph_rank_corr": _q_rank_corr,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
@@ -906,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "graph_stats": osql.graph_stats_query_sql(),
         "graph_degree_hist": osql.degree_histogram_query_sql("out"),
+        "graph_rank_corr": osql.rank_corr_query_sql(k=5, halflife_s=259200.0),
         "transcripts_conv_stats": (
             "WITH transcripts AS ("
             + _tsql.transcripts_from_events_sql("events")

@@ -896,3 +896,79 @@ SELECT CAST(floor(log2(deg)) AS INTEGER) AS bucket,
        CAST(count(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY 1, 2
 """
+
+
+def rank_corr_query_sql(
+    k: int = 5,
+    halflife_s: float = 259200.0,
+    dialect: str = "duckdb",
+    round_to: int = 6,
+) -> str:
+    """n, spearman — twin of operators.ranking.spearman_rank_correlation
+    over (plain PageRank k, decay PageRank k): both unrolled chains
+    inlined with distinct CTE prefixes, each side ranked by
+    (round(pr, 8) DESC, entity ASC) — the same deterministic total order
+    the Spark operator uses — then Pearson corr of the rank columns
+    (≡ Spearman for distinct ranks; corr() twins exactly)."""
+    d = DAMPING
+    m = _mat(dialect)
+    steps = [f"nv AS {m}(SELECT count(*) AS n FROM vertices)"]
+    # plain chain: p0..p{k} over edges/outdeg
+    steps.append(f"p0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    for i in range(1, k + 1):
+        q = i - 1
+        steps.append(f"""
+pdang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM p{q} r LEFT JOIN outdeg o ON r.entity = o.entity WHERE o.entity IS NULL
+),
+pcon{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr / o.outdeg) AS contrib
+  FROM edges e JOIN p{q} r ON e.src = r.entity JOIN outdeg o ON e.src = o.entity
+  GROUP BY e.dst
+),
+p{i} AS {m}(
+  SELECT v.entity,
+         (1.0 - {d}) / (SELECT n FROM nv)
+         + {d} * ((SELECT dm FROM pdang{i}) / (SELECT n FROM nv) + coalesce(c.contrib, 0)) AS pr
+  FROM vertices v LEFT JOIN pcon{i} c ON v.entity = c.entity
+)""")
+    # decay chain: d0..d{k} over decay_edges/dtot
+    steps.append(f"d0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    for i in range(1, k + 1):
+        q = i - 1
+        steps.append(f"""
+ddang{i} AS {m}(
+  SELECT coalesce(sum(r.pr), 0) AS dm
+  FROM d{q} r LEFT JOIN dtot w ON r.entity = w.entity WHERE w.entity IS NULL
+),
+dcon{i} AS {m}(
+  SELECT e.dst AS entity, sum(r.pr * e.w / w.total) AS contrib
+  FROM decay_edges e JOIN d{q} r ON e.src = r.entity JOIN dtot w ON e.src = w.entity
+  GROUP BY e.dst
+),
+d{i} AS {m}(
+  SELECT v.entity,
+         (1.0 - {d}) / (SELECT n FROM nv)
+         + {d} * ((SELECT dm FROM ddang{i}) / (SELECT n FROM nv) + coalesce(c.contrib, 0)) AS pr
+  FROM vertices v LEFT JOIN dcon{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return f"""
+WITH {graph_ctes(dialect)},
+{decay_graph_ctes(halflife_s, dialect)},
+{body},
+ra AS {m}(
+  SELECT entity AS k,
+         row_number() OVER (ORDER BY round(pr, 8) DESC, entity ASC) AS ra
+  FROM p{k}
+),
+rb AS {m}(
+  SELECT entity AS k,
+         row_number() OVER (ORDER BY round(pr, 8) DESC, entity ASC) AS rb
+  FROM d{k}
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE)), {round_to}) AS spearman
+FROM ra JOIN rb USING (k)
+"""

@@ -249,3 +249,50 @@ def test_degree_histogram_matches_python(spark):
 
     with _pytest.raises(ValueError):
         degree_histogram(df, direction="sideways")
+
+
+def test_global_rank_partition_invariant_and_correct(spark):
+    from pagerank_optimization_spark.operators.ranking import global_rank
+    from pyspark.sql import functions as F
+
+    rows = [(f"k{i:03d}", float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    want = {k: r + 1 for r, (k, _v) in enumerate(
+        sorted(rows, key=lambda t: (-t[1], t[0])))}
+    for p in (1, 3, 8):
+        got = {r.k: r.rank for r in global_rank(
+            df.repartition(5), [F.col("v").desc(), F.col("k").asc()],
+            partitions=p).collect()}
+        assert got == want, p
+
+
+def test_spearman_extremes_and_python_recompute(spark):
+    import numpy as np
+    from pagerank_optimization_spark.operators.ranking import (
+        spearman_rank_correlation,
+    )
+
+    rows = [(f"e{i:02d}", float(i)) for i in range(30)]
+    a = spark.createDataFrame(rows, "entity string, pr double")
+    # identical ranking -> 1.0; reversed -> -1.0
+    assert spearman_rank_correlation(a, a).collect()[0].spearman == 1.0
+    rev = spark.createDataFrame(
+        [(k, 100.0 - v) for k, v in rows], "entity string, pr double"
+    )
+    assert spearman_rank_correlation(a, rev).collect()[0].spearman == -1.0
+    # scrambled: matches scipy-free numpy recompute over the same tie rule
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(30)
+    b = spark.createDataFrame(
+        [(rows[i][0], float(perm[i])) for i in range(30)],
+        "entity string, pr double",
+    )
+    r = spearman_rank_correlation(a, b).collect()[0]
+    ra = {k: i + 1 for i, (k, _v) in enumerate(sorted(rows, key=lambda t: (-t[1], t[0])))}
+    brows = [(rows[i][0], float(perm[i])) for i in range(30)]
+    rb = {k: i + 1 for i, (k, _v) in enumerate(sorted(brows, key=lambda t: (-t[1], t[0])))}
+    xa = np.array([ra[k] for k, _ in rows], dtype=float)
+    xb = np.array([rb[k] for k, _ in rows], dtype=float)
+    want = np.corrcoef(xa, xb)[0, 1]
+    assert abs(r.spearman - round(float(want), 6)) < 1e-9
+    assert r.n == 30
