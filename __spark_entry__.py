@@ -285,6 +285,20 @@ def _q_docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_weights(docs, alpha=0.7, token_budget=1_000_000)
 
 
+def _q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k on INT8-QUANTIZED vectors — the search-side payoff
+    of the quantization audit (4× corpus per executor). Int dots/norms
+    are exact integers, so unlike float ANN this approximate query is
+    hash-twinnable end to end; recall vs the exact operator is pinned
+    in pytest."""
+    from pagerank_optimization_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_quantized(emb, EMB_QUERY_IDS, k=10)
+
+
 def _q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding table: exact population
     covariance (oracle path: chained posexplodes into one hash agg) + 3
@@ -895,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_pca_top": _q_emb_pca_top,
         "emb_quantize": _q_emb_quantize,
+        "emb_quantized_topk": _q_emb_quantized_topk,
         # rows-only (synthesized binary media — no SQL twin)
         "media_features": _q_media_features,
     }
@@ -984,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_pca_top": osql_docs.emb_pca_top_sql(iters=3),
         "emb_quantize": osql_docs.emb_quantize_sql(),
+        "emb_quantized_topk": osql_docs.emb_quantized_topk_sql(EMB_QUERY_IDS, k=10),
         "docs_chunks": osql_docs.docs_chunks_sql(chunk_tokens=32, overlap=8),
         "docs_lm_score": osql_docs.docs_lm_score_sql(k=0.5),
         "docs_quality_sample": osql_docs.docs_quality_sample_sql(salt="q"),

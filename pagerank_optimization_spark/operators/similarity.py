@@ -356,3 +356,69 @@ def embedding_neardup_pairs(
         joined.select("a", "b", F.round(_dot("ua", "ub"), 8).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cosine_topk_quantized(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors computed on INT8-QUANTIZED vectors — the
+    search-side payoff of vectorize.quantize_embeddings: each vector is
+    replaced by q_i = floor(x_i/scale + 0.5) (scale = max|x|/127), and
+    cosine(q_a, q_b) approximates cosine(x_a, x_b) because the
+    per-vector scale cancels in the normalized dot product.
+
+    → (query_id, neighbor_id, qcosine, rank) — same contract and plan
+    shape as cosine_topk (broadcast tiny query side, corpus never
+    shuffles for the join, per-query top-k window). The int dot and int
+    norms are EXACT integers, so the only float ops are one division and
+    two sqrt — deterministic across engines, which is why this query is
+    hash-twinnable end to end while classic float ANN is recall-tested.
+    At 100 TB the point is memory: int8 corpus vectors are 4× smaller
+    than float32 (16× vs the float64 compute form), so 4× more corpus
+    fits per executor scan. Recall vs the exact operator is pinned in
+    pytest (tests/test_similarity.py)."""
+    e = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    q = F.when(amax == 0, F.transform(e, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(e, lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("long"))
+    )
+    qv = embeddings.select(F.col(id_col).alias("vid"), q.alias("q"))
+    qn = qv.select(
+        "vid",
+        "q",
+        F.sqrt(
+            F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x).cast("double")
+        ).alias("nrm"),
+    )
+    corpus = qn.select(F.col("vid").alias("neighbor_id"), F.col("q").alias("cq"), F.col("nrm").alias("cn"))
+    queries = qn.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda a, b: a * b), F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double")
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot / (F.greatest(F.col("qn"), F.lit(1e-12)) * F.greatest(F.col("cn"), F.lit(1e-12))),
+                8,
+            ).alias("qcosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
+    )

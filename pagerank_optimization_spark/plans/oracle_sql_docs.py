@@ -1299,3 +1299,48 @@ w{i} AS MATERIALIZED (
         for i in range(1, n_merges + 1)
     )
     return f"WITH {body}\n{union}"
+
+
+def emb_quantized_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    """query_id, neighbor_id, qcosine, rank — twin of
+    operators.similarity.cosine_topk_quantized: same int8 quantization
+    (scale = max|x|/127, q = floor(x/scale + 0.5) — explicit half-up),
+    int dot / int norms are EXACT integers on both engines, one division
+    + two sqrt of exact ints → hash-stable floats; ties broken
+    (qcosine DESC, neighbor_id ASC)."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+s AS MATERIALIZED (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v
+),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+         END AS q
+  FROM s
+),
+n AS MATERIALIZED (
+  SELECT vec_id, q,
+         sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM q
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+              i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / (greatest(a.nrm, 1e-12) * greatest(b.nrm, 1e-12)) AS qc
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN ({qlist})
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qc,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(qc, 8) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(qc, 8) AS qcosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -165,3 +165,31 @@ def test_lsh_neardup_subset_of_exact(emb):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.3  # bucketing keeps decent recall
+
+
+def test_quantized_topk_recall_vs_exact(spark, emb):
+    """int8-quantized cosine top-k keeps high recall@10 vs the exact
+    operator (quantization noise ~1/254 per coordinate) and scores stay
+    within the quantization error envelope."""
+    from pagerank_optimization_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    qids = [0, 3, 9]
+    exact = cosine_topk(emb, qids, k=10).collect()
+    quant = cosine_topk_quantized(emb, qids, k=10).collect()
+    ex = {}
+    qu = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        qu.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ex) == set(qu) == set(qids)
+    recall = sum(len(ex[q] & qu[q]) for q in qids) / sum(len(ex[q]) for q in qids)
+    assert recall >= 0.8, recall
+    # score agreement on the intersection
+    exv = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in exv:
+            assert abs(r.qcosine - exv[(r.query_id, r.neighbor_id)]) < 0.05
