@@ -456,6 +456,17 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb)
 
 
+def _q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-gram CONTAINMENT pairs (|A∩B|/|A| — the partial-copy /
+    quotation detector symmetric Jaccard structurally misses); same
+    shingle machinery and skew cap as the Jaccard operator, ordered
+    pairs with per-side denominators."""
+    from pagerank_optimization_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_pairs(docs, k=3, threshold=0.8, max_shingle_freq=1000)
+
+
 def _q_docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (doc count, token volume, mean chars,
     exact p50/p90/p99 token counts) — the data-mixing report; exact
@@ -873,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": _q_docs_token_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_ngram_containment": _q_docs_containment,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "events_sessionize": _q_events_sessionize,
         "events_bursts": _q_events_bursts,
@@ -961,6 +973,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic_r3": osql.harmonic_query_sql(r=3),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
+        "docs_ngram_containment": osql_docs.docs_ngram_containment_sql(
+            k=3, threshold=0.8, max_shingle_freq=1000
+        ),
         "docs_ngram_jaccard": osql_docs.docs_ngram_jaccard_sql(k=3, threshold=0.8),
         "emb_cosine_topk": osql_docs.emb_cosine_topk_sql(EMB_QUERY_IDS, k=10),
         "events_sessionize": _sessions.sessionize_sql(1800),

@@ -649,3 +649,56 @@ def dedup_against_corpus(
     sigs.unpersist()
     new1.unpersist()
     return survivors, stats
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int = 1000,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Exact k-gram CONTAINMENT pairs: → (a, b, containment) where
+    containment = |S(a) ∩ S(b)| / |S(a)| ≥ threshold, a ≠ b (ordered:
+    the row says "a is contained in b").
+
+    Containment (Broder 1997's other resemblance measure) catches what
+    symmetric Jaccard structurally cannot: a short document quoted or
+    embedded inside a long one scores |A∩B|/|A| ≈ 1 while its Jaccard
+    ≈ |A|/|B| ≈ 0 — the partial-copy / quotation / page-wrapped-article
+    shape that web dedup pipelines filter with exactly this statistic.
+
+    Same machinery and same skew guard as ngram_jaccard_pairs (one
+    shingle self-join bounded by max_shingle_freq, sizes joined back,
+    map-side-combinable counts); the output is ordered pairs, so both
+    (a,b) and (b,a) can appear — each with its own denominator."""
+    sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if counters is not None:
+        row = (
+            freq.filter(F.col("df") > max_shingle_freq)
+            .agg(F.count("*").alias("n"), F.coalesce(F.sum("df"), F.lit(0)).alias("rows"))
+            .collect()[0]
+        )
+        counters["shingles_capped"] = int(row["n"])
+        counters["shingle_rows_capped"] = int(row["rows"])
+    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .withColumn("containment", F.col("common") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", F.round("containment", 8).alias("containment"))
+    )

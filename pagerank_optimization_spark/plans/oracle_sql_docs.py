@@ -1344,3 +1344,38 @@ ranked AS (
 SELECT query_id, neighbor_id, round(qc, 8) AS qcosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def docs_ngram_containment_sql(
+    k: int = 3, threshold: float = 0.8, max_shingle_freq: int = 1000
+) -> str:
+    """a, b, containment — twin of
+    operators.dedup.ngram_containment_pairs: |S(a)∩S(b)| / |S(a)| over
+    the same distinct-shingle sets, same skew cap, ORDERED pairs a ≠ b."""
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+sh0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM t, unnest(list_transform(
+        range(1, greatest(len(toks) - {k}, 0) + 2),
+        i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS u(s)
+  WHERE len(string_split(s, ' ')) = {k}
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_shingle_freq}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(common * 1.0 / sa.n_sh, 8) AS containment
+FROM common JOIN sizes sa ON common.a = sa.doc_id
+WHERE common * 1.0 / sa.n_sh >= {threshold}
+"""

@@ -220,3 +220,51 @@ def test_collapse_families_rejects_unsupported_id_type(spark):
     pairs = spark.createDataFrame([(1.5, 2.5)], "a double, b double")
     with pytest.raises(TypeError):
         _collapse_pair_families(survivors, pairs, "doc_id")
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc quoted inside a long one: containment ≈ 1 while
+    Jaccard is small — the asymmetry is the operator's whole point."""
+    from pagerank_optimization_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = ("intro words here . " + short + " . many other trailing words "
+            "pad pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9 pad10 pad11 pad12")
+    docs = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = {(r.a, r.b): r.containment
+            for r in ngram_containment_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # every shingle of 1 is in 2
+    assert (2, 1) not in cont                       # not vice versa
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quote entirely
+
+
+def test_containment_matches_python_recompute(spark):
+    from pagerank_optimization_spark.operators.dedup import ngram_containment_pairs
+
+    texts = {
+        1: "a b c d e f",
+        2: "x y a b c d q r",
+        3: "a b c d e f g h",
+        4: "totally different words only",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.a, r.b): r.containment
+           for r in ngram_containment_pairs(docs, k=3, threshold=0.0).collect()}
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b:
+                continue
+            inter = len(sh(ta) & sh(tb))
+            if inter:
+                want[(a, b)] = round(inter / len(sh(ta)), 8)
+    assert got == want
