@@ -467,6 +467,16 @@ def _q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, k=3, threshold=0.8, max_shingle_freq=1000)
 
 
+def _q_docs_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher static quality-rule battery (Rae et al. 2021) — every
+    intermediate statistic and boolean flag per doc, pure codegen, zero
+    shuffles (the repetition half lives in docs_repetition)."""
+    from pagerank_optimization_spark.operators.quality import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_flags(docs)
+
+
 def _q_docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (doc count, token volume, mean chars,
     exact p50/p90/p99 token counts) — the data-mixing report; exact
@@ -885,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_ngram_containment": _q_docs_containment,
+        "docs_gopher_flags": _q_docs_gopher_flags,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "events_sessionize": _q_events_sessionize,
         "events_bursts": _q_events_bursts,
@@ -973,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic_r3": osql.harmonic_query_sql(r=3),
         "docs_token_stats": osql_docs.docs_token_stats_sql(),
         "docs_exact_dedup": osql_docs.docs_exact_dedup_sql(),
+        "docs_gopher_flags": osql_docs.docs_gopher_flags_sql(),
         "docs_ngram_containment": osql_docs.docs_ngram_containment_sql(
             k=3, threshold=0.8, max_shingle_freq=1000
         ),

@@ -322,3 +322,90 @@ def corpus_profile(
             F.round(F.col("pct")[2].cast("double"), round_to).alias("p99_tok"),
         )
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher static quality-rule battery (Rae et al. 2021, app. A1.1)
+    as one pass of pure codegen expressions — the standard pre-training
+    document filter. → one row per doc:
+
+    (doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stopword_hits,
+    pass_words, pass_word_len, pass_symbol, pass_bullets, pass_ellipsis,
+    pass_alpha, pass_stopwords, pass_all)
+
+    Rule set (defaults = the published thresholds): word count in
+    [50, 100k]; mean word length in [3, 10]; (# of '#' or '…')/words
+    ≤ 0.1; ≤ 90% of lines starting with a bullet; ≤ 30% of lines ending
+    with an ellipsis; ≥ 80% of words containing ≥ 1 alphabetic char;
+    ≥ 2 distinct English stopword hits. The repetition half of Gopher's
+    filter battery is operators.quality.repetition_stats.
+
+    Scale shape: zero shuffles, zero Python — composes with the scan
+    like the other per-doc quality expressions (the twin compares every
+    intermediate statistic, not just the booleans)."""
+    from ..functions.text import STOPWORDS, mean_word_len_expr, tokens_expr
+
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    n_words = F.size(toks)
+    mwl = mean_word_len_expr(text)
+    n_symbols = F.length(text) - F.length(F.regexp_replace(text, r"[#…]", ""))
+    sym_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    lines = _lines_expr(text)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•]|\d+[.)])")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]")))
+        / F.greatest(n_words, F.lit(1))
+    )
+    stop_lit = F.array(*[F.lit(w) for w in sorted(STOPWORDS["en"])])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_lit))
+
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("pass_words"),
+        ((mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)).alias("pass_word_len"),
+        (sym_ratio <= max_symbol_word_ratio).alias("pass_symbol"),
+        (bullet_frac <= max_bullet_frac).alias("pass_bullets"),
+        (ellipsis_frac <= max_ellipsis_frac).alias("pass_ellipsis"),
+        (alpha_frac >= min_alpha_word_frac).alias("pass_alpha"),
+        (stop_hits >= min_stopword_hits).alias("pass_stopwords"),
+    )
+    return flags.withColumn(
+        "pass_all",
+        F.col("pass_words")
+        & F.col("pass_word_len")
+        & F.col("pass_symbol")
+        & F.col("pass_bullets")
+        & F.col("pass_ellipsis")
+        & F.col("pass_alpha")
+        & F.col("pass_stopwords"),
+    )

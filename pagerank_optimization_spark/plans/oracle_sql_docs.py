@@ -1379,3 +1379,69 @@ SELECT a, b, round(common * 1.0 / sa.n_sh, 8) AS containment
 FROM common JOIN sizes sa ON common.a = sa.doc_id
 WHERE common * 1.0 / sa.n_sh >= {threshold}
 """
+
+
+def docs_gopher_flags_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> str:
+    """Twin of operators.quality.gopher_quality_flags — every
+    intermediate statistic AND every boolean, same regexes (common
+    Java-regex/RE2 subset, the PII-twin convention)."""
+    from pagerank_optimization_spark.functions.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text, {TOKS} AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         length(regexp_replace(lower(text), '\s+', '', 'g'))
+           / greatest(len(toks), 1) AS mwl,
+         (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))
+           / greatest(len(toks), 1) AS sym_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*([-*•]|\d+[.)])')))
+           / greatest(len(lines), 1) AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+           / greatest(len(lines), 1) AS ellipsis_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           / greatest(len(toks), 1) AS alpha_frac,
+         len(list_intersect(list_distinct(toks), [{stop_list}])) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_word_ratio,
+       round(bullet_frac, 6) AS bullet_line_frac,
+       round(ellipsis_frac, 6) AS ellipsis_line_frac,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       CAST(stop_hits AS INTEGER) AS stopword_hits,
+       n_words >= {min_words} AND n_words <= {max_words} AS pass_words,
+       mwl >= {min_mean_word_len} AND mwl <= {max_mean_word_len} AS pass_word_len,
+       sym_ratio <= {max_symbol_word_ratio} AS pass_symbol,
+       bullet_frac <= {max_bullet_frac} AS pass_bullets,
+       ellipsis_frac <= {max_ellipsis_frac} AS pass_ellipsis,
+       alpha_frac >= {min_alpha_word_frac} AS pass_alpha,
+       stop_hits >= {min_stopword_hits} AS pass_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words})
+         AND (mwl >= {min_mean_word_len} AND mwl <= {max_mean_word_len})
+         AND sym_ratio <= {max_symbol_word_ratio}
+         AND bullet_frac <= {max_bullet_frac}
+         AND ellipsis_frac <= {max_ellipsis_frac}
+         AND alpha_frac >= {min_alpha_word_frac}
+         AND stop_hits >= {min_stopword_hits} AS pass_all
+FROM s
+"""

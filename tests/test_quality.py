@@ -276,3 +276,44 @@ def test_corpus_profile_approx_close_to_exact(spark):
     assert ap.n_docs == ex.n_docs and ap.total_tokens == ex.total_tokens
     for a, b in [(ap.p50_tok, ex.p50_tok), (ap.p90_tok, ex.p90_tok), (ap.p99_tok, ex.p99_tok)]:
         assert abs(a - b) <= 2.0  # integer-valued distribution, sketch ±accuracy
+
+
+def test_gopher_flags_match_python(spark):
+    import re
+
+    from pagerank_optimization_spark.functions.text import STOPWORDS
+    from pagerank_optimization_spark.operators.quality import gopher_quality_flags
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog and " * 8,  # passes
+        1: "short doc only",                                          # fails words
+        2: "- item one\n- item two\n- item three",                    # bullets
+        3: "trailing thought...\nanother one...\nplain line",         # ellipses
+        4: "### #### ##### " + "the of and to a in is " * 10,         # symbols
+        5: "12345 67890 00000 11111 " * 20,                           # alpha frac
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    for did, t in texts.items():
+        toks = [w for w in t.lower().split() if w]
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        r = got[did]
+        assert r.n_words == len(toks), did
+        mwl = sum(len(w) for w in toks) / max(len(toks), 1)
+        assert abs(r.mean_word_len - round(mwl, 6)) < 1e-9, did
+        sym = sum(t.count(c) for c in "#…") / max(len(toks), 1)
+        assert abs(r.symbol_word_ratio - round(sym, 6)) < 1e-9, did
+        bf = sum(bool(re.match(r"^\s*([-*•]|\d+[.)])", l)) for l in lines) / max(len(lines), 1)
+        assert abs(r.bullet_line_frac - round(bf, 6)) < 1e-9, did
+        ef = sum(bool(re.search(r"(\.\.\.|…)\s*$", l)) for l in lines) / max(len(lines), 1)
+        assert abs(r.ellipsis_line_frac - round(ef, 6)) < 1e-9, did
+        af = sum(bool(re.search(r"[a-z]", w)) for w in toks) / max(len(toks), 1)
+        assert abs(r.alpha_word_frac - round(af, 6)) < 1e-9, did
+        sh = len(set(toks) & set(STOPWORDS["en"]))
+        assert r.stopword_hits == sh, did
+    assert got[0].pass_all
+    assert not got[1].pass_words
+    assert got[2].bullet_line_frac == 1.0
+    assert not got[3].pass_ellipsis
+    assert not got[4].pass_symbol
+    assert not got[5].pass_alpha
