@@ -511,6 +511,19 @@ def _q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, 8)
 
 
+def _q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train 4 merges on the corpus
+    (bpe_train_merges), then encode EVERY document with them — per-doc
+    token/subword counts plus the full encoded sequence as one
+    space-delimited string, so the twin checks every symbol boundary
+    byte-exactly. The merges are applied over the distinct-word table
+    only (|vocab|-sized), then joined back per (doc, pos, word)."""
+    from pagerank_optimization_spark.operators.vocab import bpe_encode, bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode(docs, bpe_train_merges(docs, 4))
+
+
 def _q_docs_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed TF-IDF vectors (dim 32), compared on the nonzero
     cells: the assembled array<double> is posexploded back to
@@ -914,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_merges": _q_docs_bpe_merges,
+        "docs_bpe_encode": _q_docs_bpe_encode,
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
@@ -1018,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_bpe_merges": osql_docs.docs_bpe_merges_sql(8),
+        "docs_bpe_encode": osql_docs.docs_bpe_encode_sql(4),
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
         "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),

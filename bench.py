@@ -379,6 +379,20 @@ def main() -> None:
             n=oneshot_trials,
         )
         pipe["bpe_docs_per_sec"] = round(n_docs / queries["pipe_bpe_pairs"])
+        from pagerank_optimization_spark.operators.vocab import (
+            bpe_encode,
+            bpe_train_merges,
+        )
+
+        bpe_model = bpe_train_merges(docs, 8).persist()
+        bpe_model.count()
+        timed_min(
+            "pipe_bpe_encode",
+            lambda: bpe_encode(docs, bpe_model).count(),
+            n=oneshot_trials,
+        )
+        bpe_model.unpersist()
+        pipe["bpe_encode_docs_per_sec"] = round(n_docs / queries["pipe_bpe_encode"])
         timed_min(
             "pipe_quality_sample",
             lambda: weighted_hash_sample(

@@ -197,27 +197,16 @@ def bpe_train_merges(
             top.select(F.lit(i).alias("rank"), "left", "right", "pair_count")
         )
 
-        def _fold(acc, x):
-            accp = F.split(acc, " ")
-            merged = F.array_join(
-                F.concat(
-                    F.slice(accp, 1, F.size(accp) - 1),
-                    F.array(F.concat(F.col("left"), F.col("right"))),
-                ),
-                " ",
-            )
-            return (
-                F.when(acc == "", x)
-                .when(
-                    (F.element_at(accp, -1) == F.col("left")) & (x == F.col("right")),
-                    merged,
-                )
-                .otherwise(F.concat(acc, F.lit(" "), x))
-            )
-
         w = (
             w.crossJoin(top.select("left", "right"))
-            .select(F.aggregate(F.split("w", " "), F.lit(""), _fold).alias("w"), "freq")
+            .select(
+                F.aggregate(
+                    F.split("w", " "),
+                    F.lit(""),
+                    _merge_fold(F.col("left"), F.col("right")),
+                ).alias("w"),
+                "freq",
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -225,3 +214,130 @@ def bpe_train_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _merge_fold(left, right):
+    """Greedy-leftmost single-merge fold over a space-delimited symbol
+    string: accumulate symbols left-to-right, merging each incoming
+    symbol into the accumulator's tail whenever (tail, incoming) equals
+    the merge pair — canonical BPE application semantics ('aaa' under
+    (a,a) → 'aa a'). Shared by training (pair columns from the one-row
+    winner crossJoin) and encoding (literal pairs from the model)."""
+
+    def _fold(acc, x):
+        accp = F.split(acc, " ")
+        merged = F.array_join(
+            F.concat(
+                F.slice(accp, 1, F.size(accp) - 1),
+                F.array(F.concat(left, right)),
+            ),
+            " ",
+        )
+        return (
+            F.when(acc == "", x)
+            .when((F.element_at(accp, -1) == left) & (x == right), merged)
+            .otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    return _fold
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode every document with a trained
+    merge table (the other half of ``bpe_train_merges``: train once,
+    encode the whole corpus).
+
+    → DataFrame(id_col, n_tokens, n_subwords, subword_text): per
+    document, the whitespace-token count, the subword count after all
+    merges, and the full encoded sequence as a space-delimited symbol
+    string (per-token encodings joined in token order — byte-exact, so
+    the oracle twin checks every symbol boundary). Documents with no
+    tokens survive with (0, 0, '').
+
+    Scale shape (100 TB lens):
+    - The merge table IS the tokenizer model: ≤ n_merges rows by
+      construction, collected once to the driver (the bounded
+      model-sized collect, same class as ivf_topk's query vectors) and
+      applied as literal fold expressions — no per-round join against
+      the corpus.
+    - Merges are applied over the DISTINCT-WORD table only (|vocab|,
+      sublinear in corpus size — the same collapse that makes training
+      tractable), with the symbolized column localCheckpointed every few
+      merges so the plan stays O(1) in merge count while the nested
+      aggregate() expressions stay within codegen limits.
+    - The corpus is touched exactly twice: one pass to explode
+      (doc, pos, word) and one |vocab|-sized equi-join to map each word
+      to its encoding (AQE broadcasts the encoding side when it fits);
+      per-doc reassembly is a groupBy bounded by document length.
+    - Encoding is deterministic given the merge table — reproducible
+      across runs, engines, and partitionings.
+
+    Greedy-leftmost application matches training exactly (shared
+    ``_merge_fold``), i.e. each rule is applied to fixpoint per word in
+    rank order — Sennrich et al. 2016's reference `apply_bpe` semantics
+    for rules learned on this corpus.
+    """
+    need = {"rank", "left", "right"}
+    if not need.issubset(set(merges.columns)):
+        raise ValueError(
+            f"bpe_encode: merges must have columns {sorted(need)}, got {merges.columns}"
+        )
+    # the model: ≤ n_merges rows by construction (bounded collect)
+    mrows = [
+        (r["left"], r["right"])
+        for r in merges.select("rank", "left", "right").orderBy("rank").collect()
+    ]
+
+    toks = documents.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    enc = (
+        toks.select(F.explode("toks").alias("word"))
+        .distinct()
+        .select(
+            "word",
+            F.array_join(
+                F.filter(F.split("word", ""), lambda c: c != ""), " "
+            ).alias("w"),
+        )
+    )
+    for i, (left, right) in enumerate(mrows, 1):
+        enc = enc.select(
+            "word",
+            F.aggregate(
+                F.split("w", " "), F.lit(""), _merge_fold(F.lit(left), F.lit(right))
+            ).alias("w"),
+        )
+        # checkpoint every few merges: plan O(1) in merge count, nested
+        # fold expressions bounded (the walks.py loop discipline)
+        if i % 4 == 0 or i == len(mrows):
+            enc = enc.localCheckpoint(eager=True)
+
+    encoded = (
+        toks.select(F.col(id_col), F.posexplode("toks").alias("pos", "word"))
+        .join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.size(F.split("w", " "))).alias("n_subwords"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("subword_text"),
+        )
+    )
+    return documents.select(F.col(id_col)).distinct().join(encoded, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
+        F.coalesce("subword_text", F.lit("")).alias("subword_text"),
+    )

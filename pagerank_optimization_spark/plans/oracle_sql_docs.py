@@ -1248,14 +1248,11 @@ FROM err
 """
 
 
-def docs_bpe_merges_sql(n_merges: int = 8) -> str:
-    """rank, left, right, pair_count — twin of
-    operators.vocab.bpe_train_merges: same word-frequency collapse, same
-    adjacent-pair counts, same (count DESC, left, right) winner, same
-    greedy-leftmost fold (list_reduce with a ''-prepended accumulator —
-    validated to reproduce canonical BPE merge semantics: 'aaa' under
-    (a,a) → 'aa a'). Rounds where every word is a single symbol emit no
-    row, exactly like the Spark loop."""
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The BPE-training CTE chain (wf, w0, then p{i}/t{i}/w{i} per
+    merge) shared by the training twin (docs_bpe_merges_sql) and the
+    encoding twin (docs_bpe_encode_sql, which nests the full training
+    so its merge rules are the ones Spark trains on the same corpus)."""
     steps = [
         f"""wf AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -1293,12 +1290,81 @@ w{i} AS MATERIALIZED (
   ) AS w, freq
   FROM w{p} CROSS JOIN t{i} t
 )""")
-    body = ",\n".join(steps)
+    return steps
+
+
+def docs_bpe_merges_sql(n_merges: int = 8) -> str:
+    """rank, left, right, pair_count — twin of
+    operators.vocab.bpe_train_merges: same word-frequency collapse, same
+    adjacent-pair counts, same (count DESC, left, right) winner, same
+    greedy-leftmost fold (list_reduce with a ''-prepended accumulator —
+    validated to reproduce canonical BPE merge semantics: 'aaa' under
+    (a,a) → 'aa a'). Rounds where every word is a single symbol emit no
+    row, exactly like the Spark loop."""
+    body = ",\n".join(_bpe_train_ctes(n_merges))
     union = "\nUNION ALL\n".join(
         f'SELECT CAST({i} AS INT) AS rank, "left", "right", pair_count FROM t{i}'
         for i in range(1, n_merges + 1)
     )
     return f"WITH {body}\n{union}"
+
+
+def docs_bpe_encode_sql(n_merges: int = 4) -> str:
+    """doc_id, n_tokens, n_subwords, subword_text — twin of
+    operators.vocab.bpe_encode applied to merges freshly trained by
+    bpe_train_merges on the same corpus: the training CTE chain is
+    nested verbatim (_bpe_train_ctes), then each DISTINCT word is
+    symbolized and folded through t1..tN in rank order with the same
+    greedy-leftmost list_reduce as training, and documents are
+    reassembled by joining each (doc, pos, word) to its encoding and
+    string_agg'ing in token order — byte-exact subword_text parity.
+    Token-less documents survive with (0, 0, '')."""
+    steps = _bpe_train_ctes(n_merges)
+    steps.append("""
+e0 AS MATERIALIZED (
+  SELECT word,
+         array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS w
+  FROM (SELECT DISTINCT word FROM (SELECT unnest({toks}) AS word FROM documents))
+)""".replace("{toks}", TOKS))
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        steps.append(f"""
+e{i} AS MATERIALIZED (
+  SELECT word, list_reduce(
+    list_prepend('', string_split(w, ' ')),
+    (acc, x) -> CASE
+      WHEN acc = '' THEN x
+      WHEN list_extract(string_split(acc, ' '), len(string_split(acc, ' '))) = t."left"
+           AND x = t."right"
+        THEN substr(acc, 1, length(acc) - length(t."left")) || t."left" || t."right"
+      ELSE acc || ' ' || x END
+  ) AS w
+  FROM e{p} CROSS JOIN t{i} t
+)""")
+    steps.append(f"""
+tok AS MATERIALIZED (
+  SELECT doc_id, u.t.pos AS pos, u.t.word AS word
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+       unnest(list_transform(range(1, len(toks) + 1),
+              j -> struct_pack(pos := j, word := toks[j]))) AS u(t)
+)""")
+    steps.append(f"""
+agg AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(len(string_split(e.w, ' '))) AS BIGINT) AS n_subwords,
+         string_agg(e.w, ' ' ORDER BY tok.pos) AS subword_text
+  FROM tok JOIN e{n_merges} e USING (word)
+  GROUP BY tok.doc_id
+)""")
+    body = ",\n".join(steps)
+    return f"""WITH {body}
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_subwords, 0) AS n_subwords,
+       coalesce(a.subword_text, '') AS subword_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)"""
 
 
 def emb_quantized_topk_sql(query_ids: list[int], k: int = 10) -> str:

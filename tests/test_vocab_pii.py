@@ -245,3 +245,82 @@ def test_bpe_train_merges_greedy_leftmost_and_exhaustion(spark):
 
     with _pytest.raises(ValueError):
         bpe_train_merges(docs, 0)
+
+
+# --- bpe_encode -----------------------------------------------------------
+
+
+def _py_bpe_encode(word, merges):
+    """Reference greedy-leftmost application of an ordered merge list."""
+    syms = list(word)
+    for l, r in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from pagerank_optimization_spark.operators.vocab import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = ["low lower newest widest", "newest low low estates", "the west is widest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(docs, 5)
+    mrows = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords, r.subword_text)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        encs = [_py_bpe_encode(w, mrows) for w in toks]
+        want = (
+            len(toks),
+            sum(len(e) for e in encs),
+            " ".join(" ".join(e) for e in encs),
+        )
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+def test_bpe_encode_empty_merges_is_char_split(spark):
+    from pagerank_optimization_spark.operators.vocab import bpe_encode
+
+    docs = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    merges = spark.createDataFrame([], "rank int, left string, right string")
+    row = bpe_encode(docs, merges).collect()[0]
+    assert (row.n_tokens, row.n_subwords, row.subword_text) == (2, 4, "a b c d")
+
+
+def test_bpe_encode_tokenless_doc_survives(spark):
+    from pagerank_optimization_spark.operators.vocab import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa ab"), (1, "   ")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_subwords, r.subword_text)
+        for r in bpe_encode(docs, bpe_train_merges(docs, 2)).collect()
+    }
+    assert got[1] == (0, 0, "")
+    assert got[0][0] == 3
+
+
+def test_bpe_encode_rejects_bad_merge_schema(spark):
+    from pagerank_optimization_spark.operators.vocab import bpe_encode
+
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    bad = spark.createDataFrame([(1,)], "rank int")
+    with pytest.raises(ValueError):
+        bpe_encode(docs, bad)
