@@ -511,6 +511,18 @@ def _q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, 8)
 
 
+def _q_docs_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022's substring-level
+    dedup shape, suffix-array-free): maximal verbatim runs of ≥10 tokens
+    shared between document pairs, found as consecutive shared 5-grams on
+    one alignment diagonal (gaps-and-islands). All-integer output —
+    hash-exact vs the twin."""
+    from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dup_spans(docs, k=5, min_match_tokens=10)
+
+
 def _q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: train 4 merges on the corpus
     (bpe_train_merges), then encode EVERY document with them — per-doc
@@ -928,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_encode": _q_docs_bpe_encode,
+        "docs_substring_spans": _q_docs_substring_spans,
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
@@ -1033,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_bpe_merges": osql_docs.docs_bpe_merges_sql(8),
         "docs_bpe_encode": osql_docs.docs_bpe_encode_sql(4),
+        "docs_substring_spans": osql_docs.docs_substring_spans_sql(5, 10, 1000),
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
         "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),

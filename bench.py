@@ -308,6 +308,23 @@ def main() -> None:
             "skew_caps_fired": dict(ng_caps),
         }
 
+        from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+        ss_caps: dict[str, int] = {}
+
+        def _spans():
+            ss_caps.clear()
+            return substring_dup_spans(
+                docs, k=5, min_match_tokens=10, counters=ss_caps
+            ).count()
+
+        n_ss = timed_min("pipe_substring_spans", _spans, n=oneshot_trials)
+        pipe["substring_spans"] = {
+            "spans_emitted": n_ss,
+            "docs_per_sec": round(n_docs / queries["pipe_substring_spans"]),
+            "skew_caps_fired": dict(ss_caps),
+        }
+
         from pagerank_optimization_spark.operators.retrieval import bm25_topk
 
         timed_min(

@@ -702,3 +702,112 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", F.round("containment", 8).alias("containment"))
     )
+
+
+def positional_shingles(
+    documents: DataFrame, *, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, pos, gram): EVERY word k-gram per document with its
+    1-based token position (non-distinct, unlike ``shingles`` — repeated
+    grams keep each occurrence, positions are what span detection needs).
+    Pure sequence/slice codegen, no Python."""
+    toks = tokens_expr(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, k)).alias("gram")
+        ),
+    )
+    return (
+        documents.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .filter(F.size(F.split(F.col("gram"), " ")) == k)
+    )
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    *,
+    k: int = 5,
+    min_match_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_freq: int = 1000,
+    counters: dict | None = None,
+) -> DataFrame:
+    """EXACT duplicated-substring spans between documents — the
+    substring-level dedup shape of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better": cross-document verbatim
+    passages matter even when whole-document similarity is low), found
+    without suffix arrays: two documents share a verbatim run of
+    ``m ≥ min_match_tokens`` tokens iff they share ``m − k + 1``
+    CONSECUTIVE k-grams on one alignment diagonal.
+
+    → DataFrame(a, b, a_start, b_start, match_tokens) with a < b: each
+    maximal shared token run of at least ``min_match_tokens`` tokens,
+    with its 1-based start position in both documents. All-integer
+    output — hash-exact against the SQL twin.
+
+    Plan (all codegen, no Python):
+    1. positional k-grams per doc (one explode — the only corpus-sized
+       pass), hot grams above ``max_gram_freq`` occurrences dropped
+       (boilerplate carries no span signal but O(f²) join fan-out — the
+       ``max_shingle_freq`` guard applied positionally);
+    2. gram self-join (a < b) keyed on the gram string → matching
+       position pairs (pa, pb) with alignment diagonal d = pa − pb;
+    3. gaps-and-islands per (a, b, d): island = pa − row_number(pa), so
+       consecutive pa values group into one island; run length L on a
+       diagonal = shared substring of k + L − 1 tokens.
+
+    100 TB shape: the self-join is the hot stage and is bounded by the
+    frequency cap exactly like ngram_jaccard_pairs; the islands window
+    partitions by (a, b, d) — bounded by min(len(a), len(b)) rows, never
+    corpus-sized. At full scale run it AFTER a candidate filter (MinHash
+    pairs / dedup_cascade families) so the gram join only sees suspect
+    pairs; here it is the standalone exact operator the oracle can check.
+
+    ``counters``: as in ngram_jaccard_pairs — skew-cap fire counts
+    (grams_capped, gram_rows_capped), bench-only.
+    """
+    if min_match_tokens < k:
+        raise ValueError(
+            f"substring_dup_spans: min_match_tokens ({min_match_tokens}) must be >= k ({k})"
+        )
+    min_run = min_match_tokens - k + 1
+    g = positional_shingles(documents, k=k, id_col=id_col, text_col=text_col)
+    freq = g.groupBy("gram").agg(F.count("*").alias("occ"))
+    if counters is not None:
+        row = (
+            freq.filter(F.col("occ") > max_gram_freq)
+            .agg(F.count("*").alias("n"), F.coalesce(F.sum("occ"), F.lit(0)).alias("rows"))
+            .collect()[0]
+        )
+        counters["grams_capped"] = int(row["n"])
+        counters["gram_rows_capped"] = int(row["rows"])
+    g = g.join(freq.filter(F.col("occ") <= max_gram_freq), "gram", "left_semi")
+
+    a = g.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "gram")
+    b = g.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "gram")
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d"))
+    )
+    w = W.partitionBy("a", "b", "d").orderBy("pa")
+    runs = (
+        m.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("a", "b", "d", "isl")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+        )
+        .filter(F.col("run_len") >= min_run)
+    )
+    return runs.select(
+        "a",
+        "b",
+        F.col("a_start").cast("long").alias("a_start"),
+        F.col("b_start").cast("long").alias("b_start"),
+        (F.col("run_len") + F.lit(k - 1)).cast("long").alias("match_tokens"),
+    )

@@ -1511,3 +1511,57 @@ SELECT doc_id,
          AND stop_hits >= {min_stopword_hits} AS pass_all
 FROM s
 """
+
+
+def docs_substring_spans_sql(
+    k: int = 5, min_match_tokens: int = 10, max_gram_freq: int = 1000
+) -> str:
+    """a, b, a_start, b_start, match_tokens — twin of
+    operators.dedup.substring_dup_spans: same positional k-grams, same
+    occurrence cap, same a < b gram join, same gaps-and-islands
+    (pa − row_number on each (a, b, d) diagonal) run detection.
+    All-integer output → hash-exact."""
+    min_run = min_match_tokens - k + 1
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+g0 AS MATERIALIZED (
+  -- positions unnested first, gram sliced in the outer select: DuckDB's
+  -- binder rejects list_slice(outer_col, lambda_var, ...) inside a
+  -- struct_pack lambda ("Need named argument for struct pack")
+  SELECT doc_id, pos, gram FROM (
+    SELECT doc_id, u.pos AS pos,
+           array_to_string(list_slice(toks, u.pos, u.pos + {k} - 1), ' ') AS gram
+    FROM tk, unnest(range(1, greatest(len(toks) - {k} + 1, 1) + 1)) AS u(pos)
+  ) WHERE len(string_split(gram, ' ')) = {k}
+),
+freq AS MATERIALIZED (
+  SELECT gram, count(*) AS occ FROM g0 GROUP BY gram
+),
+g AS MATERIALIZED (
+  SELECT g0.doc_id, g0.pos, g0.gram
+  FROM g0 JOIN freq USING (gram) WHERE freq.occ <= {max_gram_freq}
+),
+m AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS d
+  FROM g a JOIN g b USING (gram)
+  WHERE a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT a, b, d, pa, pb,
+         pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS isl
+  FROM m
+),
+runs AS (
+  SELECT a, b,
+         CAST(count(*) AS BIGINT) AS run_len,
+         CAST(min(pa) AS BIGINT) AS a_start,
+         CAST(min(pb) AS BIGINT) AS b_start
+  FROM isl GROUP BY a, b, d, isl
+  HAVING count(*) >= {min_run}
+)
+SELECT a, b, a_start, b_start, CAST(run_len + {k - 1} AS BIGINT) AS match_tokens
+FROM runs
+"""

@@ -268,3 +268,100 @@ def test_containment_matches_python_recompute(spark):
             if inter:
                 want[(a, b)] = round(inter / len(sh(ta)), 8)
     assert got == want
+
+
+# --- substring_dup_spans ----------------------------------------------------
+
+
+def _py_spans(ta, tb, k, min_match):
+    """Reference: maximal shared token runs via diagonal islands."""
+    from collections import defaultdict
+
+    def grams(toks):
+        return {i + 1: " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    ga, gb = grams(ta), grams(tb)
+    diag = defaultdict(list)
+    for pa, g in ga.items():
+        for pb, h in gb.items():
+            if g == h:
+                diag[pa - pb].append(pa)
+    spans = []
+    for d, pas in diag.items():
+        pas = sorted(pas)
+        start, prev, run = pas[0], pas[0], 1
+        for p in pas[1:]:
+            if p == prev + 1:
+                run += 1
+            else:
+                if k + run - 1 >= min_match:
+                    spans.append((start, start - d, k + run - 1))
+                start, run = p, 1
+            prev = p
+        if k + run - 1 >= min_match:
+            spans.append((start, start - d, k + run - 1))
+    return sorted(spans)
+
+
+def test_substring_spans_match_python_reference(spark):
+    from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+    texts = [
+        (0, "p1 p2 p3 the shared block of nine tokens exactly here q1 q2"),
+        (1, "r1 the shared block of nine tokens exactly here r2 r3 r4 r5"),
+        (2, "the shared block of nine tokens exactly here and p1 p2 p3 x"),
+        (3, "all different material with no overlap to anything else at all"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    rows = substring_dup_spans(docs, k=3, min_match_tokens=5).collect()
+    for r in rows:
+        got.setdefault((r.a, r.b), []).append((r.a_start, r.b_start, r.match_tokens))
+    toks = {i: t.lower().split() for i, t in texts}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            want = _py_spans(toks[a], toks[b], 3, 5)
+            assert sorted(got.get((a, b), [])) == want, (a, b)
+
+
+def test_substring_spans_one_maximal_run_not_fragments(spark):
+    from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, f"a0 {shared} a1"), (1, f"b0 b1 b2 {shared}")],
+        "doc_id long, text string",
+    )
+    rows = substring_dup_spans(docs, k=4, min_match_tokens=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a_start, r.b_start, r.match_tokens) == (2, 4, 12)
+
+
+def test_substring_spans_gram_cap_fires(spark):
+    from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+    # the same 6-token boilerplate on every doc: with max_gram_freq=2 the
+    # shared grams exceed the cap and no span survives
+    boiler = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(i, f"u{i} {boiler} v{i}") for i in range(5)], "doc_id long, text string"
+    )
+    counters = {}
+    rows = substring_dup_spans(
+        docs, k=3, min_match_tokens=5, max_gram_freq=2, counters=counters
+    ).collect()
+    assert rows == []
+    assert counters["grams_capped"] > 0
+    assert counters["gram_rows_capped"] >= counters["grams_capped"] * 3
+    # with the cap lifted every pair reports the boilerplate span
+    rows = substring_dup_spans(docs, k=3, min_match_tokens=5).collect()
+    assert len(rows) == 10  # C(5,2)
+
+
+def test_substring_spans_rejects_min_below_k(spark):
+    from pagerank_optimization_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        substring_dup_spans(docs, k=5, min_match_tokens=3)
