@@ -120,6 +120,19 @@ def _q_cc_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(vertices, wedges, fixed_rounds=16)
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the DIRECTED transcript graph
+    (FW-BW coloring to full convergence; scc_id = lexicographic-min
+    member). The twin is the semantic definition — mutual reachability
+    via a recursive transitive closure — not a loop replay."""
+    from pagerank_optimization_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return strongly_connected_components(vertices, wedges)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
@@ -898,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_decay_k5": _q_pagerank_decay_k5,
         "graph_hits_k5": _q_hits_k5,
         "graph_cc_r16": _q_cc_r16,
+        "graph_scc": _q_scc,
         "graph_triangles": _q_triangles,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
@@ -980,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
+        "graph_scc": osql.scc_query_sql(),
         "graph_triangles": osql.triangle_query_sql(),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),

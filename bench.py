@@ -152,6 +152,14 @@ def main() -> None:
     timed_min("label_propagation_r5", lambda: label_propagation(vertices, edges, rounds=5, partitions=cpus).count(), n=oneshot_trials)
     timed_min("triangle_count", lambda: triangle_count(edges).collect(), n=oneshot_trials)
 
+    from pagerank_optimization_spark.operators.scc import strongly_connected_components
+
+    timed_min(
+        "strongly_connected_components",
+        lambda: strongly_connected_components(vertices, edges, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.walks import random_walks
 
     timed_min(

@@ -26,7 +26,9 @@ def main(argv=None) -> int:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--transcripts", help="parquet path with the transcript schema")
     src.add_argument("--events", help="events parquet to derive transcripts from")
-    ap.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles", "clustering"])
+    ap.add_argument(
+        "--algo", required=True, choices=["cc", "scc", "lpa", "triangles", "clustering"]
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument(
         "--rounds", type=int, default=None,
@@ -64,6 +66,16 @@ def main(argv=None) -> int:
             vertices, edges,
             max_rounds=args.rounds if args.rounds is not None else 200,
             partitions=args.partitions, checkpointer=cm,
+        )
+    elif args.algo == "scc":
+        from pagerank_optimization_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        out = strongly_connected_components(
+            vertices, edges,
+            max_rounds=args.rounds if args.rounds is not None else 200,
+            partitions=args.partitions,
         )
     elif args.algo == "lpa":
         from pagerank_optimization_spark.operators.lpa import label_propagation

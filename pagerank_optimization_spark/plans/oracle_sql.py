@@ -972,3 +972,26 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round(corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE)), {round_to}) AS spearman
 FROM ra JOIN rb USING (k)
 """
+
+
+def scc_query_sql(dialect: str = "duckdb") -> str:
+    """entity, scc_id — twin of operators.scc.strongly_connected_components
+    by the SEMANTIC definition rather than a loop replay: transitive
+    closure via a recursive CTE (feasible at oracle scale), mutual
+    reachability = SCC membership, scc_id = min over {v} ∪ {mutually
+    reachable w}. Checks the FW-BW coloring algorithm against the
+    definition of the thing it computes."""
+    return f"""WITH RECURSIVE {graph_ctes(dialect)},
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+mn AS (SELECT v AS entity, min(w) AS mw FROM mutual GROUP BY v)
+SELECT v.entity, least(v.entity, coalesce(mn.mw, v.entity)) AS scc_id
+FROM vertices v LEFT JOIN mn ON mn.entity = v.entity
+"""

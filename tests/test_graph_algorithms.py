@@ -167,3 +167,112 @@ def test_lpa_until_stable_stops_early_identical_labels(spark, tmp_path):
     assert got == want
     stopped_at = cm.last_complete_superstep()
     assert stopped_at is not None and stopped_at < 9  # early stop happened
+
+
+# --- strongly_connected_components ------------------------------------------
+
+
+def _py_scc(vs, es):
+    """Reference: iterative Tarjan → {v: min-id member of its SCC}."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for s, d in es:
+        g[s].append(d)
+    index, low, onstk, stk, out = {}, {}, {}, [], {}
+    cnt = [0]
+    for root in vs:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = cnt[0]
+                cnt[0] += 1
+                stk.append(node)
+                onstk[node] = True
+            recurse = False
+            succs = g[node]
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (node, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif onstk.get(w):
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == node:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    out[w] = rep
+    return out
+
+
+def _run_scc(spark, vs, es):
+    from pagerank_optimization_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    v = spark.createDataFrame([(x,) for x in vs], "entity string")
+    e = spark.createDataFrame(list(es) or [("_", "_")], "src string, dst string")
+    if not es:
+        e = e.limit(0)
+    got = {r.entity: r.scc_id for r in strongly_connected_components(v, e).collect()}
+    return got
+
+
+def test_scc_matches_tarjan_on_transcript_graph(graph):
+    from pagerank_optimization_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    vertices, wedges, o_vertices, o_edges = graph
+    got = {
+        r.entity: r.scc_id
+        for r in strongly_connected_components(vertices, wedges).collect()
+    }
+    want = _py_scc(sorted(o_vertices), sorted(set(o_edges)))
+    assert got == want
+
+
+def test_scc_cycle_with_tail(spark):
+    vs = ["a", "b", "c", "d"]
+    es = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    got = _run_scc(spark, vs, es)
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    vs = ["a", "b", "x", "y"]
+    es = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("b", "x")]
+    got = _run_scc(spark, vs, es)
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
+
+def test_scc_dag_all_singletons_both_chain_directions(spark):
+    vs = [f"v{i}" for i in range(5)]
+    asc = [(f"v{i}", f"v{i+1}") for i in range(4)]  # worst case: 1 root/round
+    desc = [(f"v{i+1}", f"v{i}") for i in range(4)]  # best case: all roots
+    for es in (asc, desc):
+        got = _run_scc(spark, vs, es)
+        assert got == {v: v for v in vs}
+
+
+def test_scc_no_edges_and_isolated(spark):
+    got = _run_scc(spark, ["p", "q"], [])
+    assert got == {"p": "p", "q": "q"}
