@@ -133,6 +133,17 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(vertices, wedges)
 
 
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowtie decomposition (Broder et al.): core = largest SCC, in/out =
+    reach / reached-from the core via frontier-only BFS, other = the
+    rest. Twin derives all regions from the same recursive closure as
+    the SCC twin."""
+    from pagerank_optimization_spark.operators.scc import bowtie_decomposition
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return bowtie_decomposition(vertices, wedges)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits_k5": _q_hits_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_scc": _q_scc,
+        "graph_bowtie": _q_bowtie,
         "graph_triangles": _q_triangles,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
@@ -995,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_scc": osql.scc_query_sql(),
+        "graph_bowtie": osql.bowtie_query_sql(),
         "graph_triangles": osql.triangle_query_sql(),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),

@@ -184,3 +184,102 @@ def strongly_connected_components(
     if assigned is None:
         return vertices.select("entity", F.col("entity").alias("scc_id")).limit(0)
     return assigned
+
+
+def bowtie_decomposition(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    partitions: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Bowtie decomposition of a directed graph (Broder et al. 2000,
+    "Graph structure in the Web"): → DataFrame(entity, region) with
+    region ∈ {'core', 'in', 'out', 'other'} —
+
+    - core:  the largest SCC (ties: more members wins, then
+             lexicographic-min scc_id — deterministic);
+    - in:    vertices outside the core that can REACH it;
+    - out:   vertices outside the core REACHABLE FROM it;
+    - other: tendrils, tubes and disconnected pieces.
+
+    'in' and 'out' are disjoint by construction: a vertex that both
+    reaches and is reached by the core is mutually reachable with every
+    core member, hence inside the core SCC itself.
+
+    Plan: one SCC run (strongly_connected_components above), ONE
+    bounded scalar collect to pick the core id (a 1-row TakeOrdered,
+    never the component table), then two frontier-only BFS expansions —
+    backward for 'in', forward for 'out' — each round touching only
+    edges incident to the new frontier (the bfs.py discipline), and a
+    final left-join classification. The twin
+    (plans.oracle_sql.bowtie_query_sql) derives all three regions from
+    the same recursive closure as the SCC twin — again the semantic
+    definition, not a loop replay."""
+    spark = vertices.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    scc = strongly_connected_components(
+        vertices, edges, partitions=partitions, max_rounds=max_rounds
+    ).localCheckpoint(eager=True)
+    top = (
+        scc.groupBy("scc_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return vertices.select("entity", F.lit("other").alias("region")).limit(0)
+    core_id = top[0]["scc_id"]
+    core = (
+        scc.filter(F.col("scc_id") == core_id).select("entity").localCheckpoint(eager=True)
+    )
+
+    from pagerank_optimization_spark.session import iterative_conf
+
+    e = edges.select("src", "dst").repartition(partitions, "dst").localCheckpoint(
+        eager=True
+    )
+
+    def _expand(seed: DataFrame, backward: bool) -> DataFrame:
+        """Frontier-only reachability closure from ``seed`` (exclusive):
+        backward=True walks edges dst→src ('who reaches the seed'),
+        False walks src→dst ('whom the seed reaches')."""
+        hit_col, step_col = ("dst", "src") if backward else ("src", "dst")
+        reached = seed
+        frontier = seed
+        for _ in range(max_rounds):
+            new = (
+                e.join(frontier.select(F.col("entity").alias(hit_col)), hit_col)
+                .select(F.col(step_col).alias("entity"))
+                .distinct()
+                .join(reached, "entity", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.limit(1).count() == 0:
+                return reached
+            reached = reached.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        raise RuntimeError(
+            f"bowtie_decomposition: reachability not closed in {max_rounds} rounds"
+        )
+
+    with iterative_conf(spark):
+        in_side = _expand(core, backward=True)
+        out_side = _expand(core, backward=False)
+
+    return (
+        vertices.select("entity")
+        .join(core.select("entity", F.lit(True).alias("_core")), "entity", "left")
+        .join(in_side.select("entity", F.lit(True).alias("_in")), "entity", "left")
+        .join(out_side.select("entity", F.lit(True).alias("_out")), "entity", "left")
+        .select(
+            "entity",
+            F.when(F.col("_core"), F.lit("core"))
+            .when(F.col("_in"), F.lit("in"))
+            .when(F.col("_out"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("region"),
+        )
+    )

@@ -995,3 +995,50 @@ mn AS (SELECT v AS entity, min(w) AS mw FROM mutual GROUP BY v)
 SELECT v.entity, least(v.entity, coalesce(mn.mw, v.entity)) AS scc_id
 FROM vertices v LEFT JOIN mn ON mn.entity = v.entity
 """
+
+
+def bowtie_query_sql(dialect: str = "duckdb") -> str:
+    """entity, region — twin of operators.scc.bowtie_decomposition from
+    the same recursive closure as scc_query_sql: core = the largest SCC
+    (count DESC, scc_id ASC), in = reaches the core, out = reached from
+    the core, other = the rest. The semantic definition again — the
+    Spark side's SCC run + two frontier BFS closures must land exactly
+    here."""
+    return f"""WITH RECURSIVE {graph_ctes(dialect)},
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS w
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+mn AS (SELECT v AS entity, min(w) AS mw FROM mutual GROUP BY v),
+scc AS (
+  SELECT v.entity, least(v.entity, coalesce(mn.mw, v.entity)) AS scc_id
+  FROM vertices v LEFT JOIN mn ON mn.entity = v.entity
+),
+core_pick AS (
+  SELECT scc_id FROM scc GROUP BY scc_id
+  ORDER BY count(*) DESC, scc_id ASC LIMIT 1
+),
+core_v AS (SELECT entity FROM scc JOIN core_pick USING (scc_id)),
+in_v AS (
+  SELECT DISTINCT r.a AS entity
+  FROM reach r JOIN core_v c ON r.b = c.entity
+),
+out_v AS (
+  SELECT DISTINCT r.b AS entity
+  FROM reach r JOIN core_v c ON r.a = c.entity
+)
+SELECT v.entity,
+       CASE WHEN cv.entity IS NOT NULL THEN 'core'
+            WHEN iv.entity IS NOT NULL THEN 'in'
+            WHEN ov.entity IS NOT NULL THEN 'out'
+            ELSE 'other' END AS region
+FROM vertices v
+LEFT JOIN core_v cv ON cv.entity = v.entity
+LEFT JOIN in_v iv ON iv.entity = v.entity
+LEFT JOIN out_v ov ON ov.entity = v.entity
+"""

@@ -276,3 +276,94 @@ def test_scc_dag_all_singletons_both_chain_directions(spark):
 def test_scc_no_edges_and_isolated(spark):
     got = _run_scc(spark, ["p", "q"], [])
     assert got == {"p": "p", "q": "q"}
+
+
+# --- bowtie_decomposition ----------------------------------------------------
+
+
+def _run_bowtie(spark, vs, es):
+    from pagerank_optimization_spark.operators.scc import bowtie_decomposition
+
+    v = spark.createDataFrame([(x,) for x in vs], "entity string")
+    e = spark.createDataFrame(list(es) or [("_", "_")], "src string, dst string")
+    if not es:
+        e = e.limit(0)
+    return {r.entity: r.region for r in bowtie_decomposition(v, e).collect()}
+
+
+def test_bowtie_planted_regions(spark):
+    # core: 3-cycle a<b<c; in: i1 -> a; out: c -> o1 -> o2;
+    # tendril off the in-side: i1 -> t1 (reaches neither core nor from it);
+    # disconnected: d1
+    vs = ["a", "b", "c", "i1", "o1", "o2", "t1", "d1"]
+    es = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("i1", "a"),
+        ("c", "o1"), ("o1", "o2"),
+        ("i1", "t1"),
+        ("d1", "d1"),
+    ]
+    got = _run_bowtie(spark, vs, es)
+    assert got == {
+        "a": "core", "b": "core", "c": "core",
+        "i1": "in",
+        "o1": "out", "o2": "out",
+        "t1": "other",
+        "d1": "other",
+    }
+
+
+def test_bowtie_core_tiebreak_smaller_id(spark):
+    # two SCCs of equal size — the lexicographically smaller scc_id wins
+    vs = ["a", "b", "x", "y"]
+    es = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    got = _run_bowtie(spark, vs, es)
+    assert got == {"a": "core", "b": "core", "x": "other", "y": "other"}
+
+
+def test_bowtie_matches_python_reference_on_transcript_graph(graph):
+    from collections import defaultdict
+
+    from pagerank_optimization_spark.operators.scc import bowtie_decomposition
+
+    vertices, wedges, o_vertices, o_edges = graph
+    got = {
+        r.entity: r.region for r in bowtie_decomposition(vertices, wedges).collect()
+    }
+    scc = _py_scc(sorted(o_vertices), sorted(set(o_edges)))
+    sizes = defaultdict(int)
+    for v, r in scc.items():
+        sizes[r] += 1
+    core_id = min(sizes, key=lambda r: (-sizes[r], r))
+    core = {v for v, r in scc.items() if r == core_id}
+    fwd = defaultdict(set)
+    bwd = defaultdict(set)
+    for s, d in set(o_edges):
+        fwd[s].add(d)
+        bwd[d].add(s)
+
+    def closure(seed, adj):
+        seen, todo = set(seed), list(seed)
+        while todo:
+            u = todo.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    todo.append(w)
+        return seen
+
+    reaches_core = closure(core, bwd)
+    from_core = closure(core, fwd)
+    want = {
+        v: (
+            "core"
+            if v in core
+            else "in"
+            if v in reaches_core
+            else "out"
+            if v in from_core
+            else "other"
+        )
+        for v in o_vertices
+    }
+    assert got == want
