@@ -370,6 +370,22 @@ def _q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(transcripts_from_events(_events(spark, sf_dir)))
 
 
+def _q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) — the full degree-correlation
+    profile complementing graph_stats' single assortativity number."""
+    from pagerank_optimization_spark.operators.structure import knn_curve
+
+    return knn_curve(_q_edges(spark, sf_dir))
+
+
+def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over in-conversation tool
+    invocations — bounded conv_id window + n_tools²-key agg."""
+    from pagerank_optimization_spark.operators.sessions import tool_transitions
+
+    return tool_transitions(transcripts_from_events(_events(spark, sf_dir)))
+
+
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) pair counts over the length-4 walk
     corpus, symmetric window ±2 — the DeepWalk graph→embedding bridge
@@ -936,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walk_skipgrams": _q_walk_skipgrams,
         "graph_stats": _q_graph_stats,
         "graph_degree_hist": _q_degree_histogram,
+        "graph_knn_curve": _q_knn_curve,
+        "transcripts_tool_transitions": _q_tool_transitions,
         "graph_rank_corr": _q_rank_corr,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
@@ -1018,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),
         "graph_stats": osql.graph_stats_query_sql(),
         "graph_degree_hist": osql.degree_histogram_query_sql("out"),
+        "graph_knn_curve": osql.knn_curve_query_sql(),
+        "transcripts_tool_transitions": osql.tool_transitions_query_sql(),
         "graph_rank_corr": osql.rank_corr_query_sql(k=5, halflife_s=259200.0),
         "transcripts_conv_stats": (
             "WITH transcripts AS ("

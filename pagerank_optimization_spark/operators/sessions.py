@@ -211,3 +211,60 @@ SELECT conv_id,
        round(max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0), {round_to}) AS duration_s
 FROM transcripts GROUP BY conv_id
 """
+
+
+def tool_transitions(transcripts: DataFrame, *, round_to: int = 8) -> DataFrame:
+    """First-order Markov transition matrix over tool invocations within a
+    conversation: → (from_tool, to_tool, n_transitions, prob) where prob is
+    the row-normalized transition probability P(to | from).
+
+    This is the distilled "tool-invocation adjacency" of the north star —
+    the same consecutive-call structure the edge derivation encodes as
+    agent→tool edges, here estimated as a transition kernel (what a
+    tool-routing policy or an agent-behavior drift monitor consumes).
+
+    Scale shape: the lag window partitions by conv_id — conversations are
+    bounded (max-turns-capped) so the per-partition state is O(turns), no
+    hot key possible; the transition groupBy key space is n_tools² (tiny);
+    the row-normalizing totals join broadcasts. One shuffle by conv_id +
+    one bounded agg at ANY corpus size."""
+    calls = transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    seq = calls.withColumn("from_tool", F.lag("tool").over(w))
+    pairs = (
+        seq.filter(F.col("from_tool").isNotNull())
+        .groupBy("from_tool", F.col("tool").alias("to_tool"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_tool").agg(F.sum("n_transitions").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_tool")
+        .select(
+            "from_tool",
+            "to_tool",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_tot"), round_to).alias("prob"),
+        )
+    )
+
+
+def tool_transitions_sql(round_to: int = 8) -> str:
+    """DuckDB twin of tool_transitions (caller supplies the transcripts
+    CTE): the identical lag window + count + row-normalized probability."""
+    return f"""
+SELECT from_tool, to_tool, n_transitions,
+       round(n_transitions * 1.0
+             / sum(n_transitions) OVER (PARTITION BY from_tool), {round_to}) AS prob
+FROM (
+  SELECT from_tool, tool AS to_tool, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM (
+    SELECT conv_id, turn_idx, tool,
+           lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_tool
+    FROM transcripts WHERE role = 'assistant' AND tool IS NOT NULL
+  ) s
+  WHERE from_tool IS NOT NULL
+  GROUP BY 1, 2
+) p
+"""

@@ -283,3 +283,40 @@ def degree_histogram(edges: DataFrame, *, direction: str = "out") -> DataFrame:
             "n_vertices",
         )
     )
+
+
+def knn_curve(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al. 2001,
+    the standard degree-correlation profile): for every out-degree k, the
+    mean over vertices of out-degree k of the mean out-degree of their
+    out-neighbors → (degree, avg_neighbor_outdeg, n_vertices).
+
+    A falling curve = disassortative (hubs point at leaves — the typical
+    web/transcript shape); flat = uncorrelated. Complements graph_stats'
+    single-number assortativity with the full profile.
+
+    Scale shape: one out-degree agg (map-side combinable), one |V|-sized
+    degree lookup joined onto the edge list keyed by dst (dangling
+    neighbors count as out-degree 0 via left join + coalesce — every
+    edge contributes), a per-src mean, then a ≤max-degree-sized groupBy.
+    The dst-keyed join is the PageRank gather shuffle shape; output is
+    bounded by the number of distinct degrees (~hundreds at any scale)."""
+    e = edges.select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    nbr = (
+        e.join(
+            outdeg.select(F.col("src").alias("dst"), F.col("od").alias("nd")),
+            "dst",
+            "left",
+        )
+        .groupBy("src")
+        .agg(F.avg(F.coalesce(F.col("nd"), F.lit(0)).cast("double")).alias("annd"))
+    )
+    return (
+        nbr.join(outdeg, "src")
+        .groupBy(F.col("od").alias("degree"))
+        .agg(
+            F.round(F.avg("annd"), round_to).alias("avg_neighbor_outdeg"),
+            F.count("*").alias("n_vertices"),
+        )
+    )

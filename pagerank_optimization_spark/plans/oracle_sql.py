@@ -1042,3 +1042,36 @@ LEFT JOIN core_v cv ON cv.entity = v.entity
 LEFT JOIN in_v iv ON iv.entity = v.entity
 LEFT JOIN out_v ov ON ov.entity = v.entity
 """
+
+
+def knn_curve_query_sql(dialect: str = "duckdb", round_to: int = 8) -> str:
+    """degree, avg_neighbor_outdeg, n_vertices — twin of
+    operators.structure.knn_curve (per-src mean of out-neighbor
+    out-degrees, dangling neighbors as 0, grouped by src out-degree)."""
+    m = _mat(dialect)
+    return f"""
+WITH {graph_ctes(dialect)},
+od AS {m}(SELECT src AS v, count(*) AS od FROM edges GROUP BY src),
+annd AS {m}(
+  SELECT e.src,
+         avg(CAST(coalesce(n.od, 0) AS DOUBLE)) AS annd
+  FROM edges e LEFT JOIN od n ON e.dst = n.v
+  GROUP BY e.src
+)
+SELECT o.od AS degree,
+       round(avg(a.annd), {round_to}) AS avg_neighbor_outdeg,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM annd a JOIN od o ON a.src = o.v
+GROUP BY o.od
+"""
+
+
+def tool_transitions_query_sql(dialect: str = "duckdb", round_to: int = 8) -> str:
+    """from_tool, to_tool, n_transitions, prob — twin of
+    operators.sessions.tool_transitions over the derived transcripts."""
+    from pagerank_optimization_spark.operators.sessions import tool_transitions_sql
+
+    return (
+        f"WITH transcripts AS ({transcripts_from_events_sql('events', dialect)}) "
+        + tool_transitions_sql(round_to=round_to)
+    )
