@@ -173,6 +173,17 @@ def _q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(vertices, edges, k=3)
 
 
+def _q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the undirected transcript graph (every surviving edge in
+    ≥1 triangle within the subgraph; the 4-truss is empty on this corpus)
+    — exact peeling fixpoint; the SQL twin unrolls 10 rounds with a loud
+    non-convergence sentinel."""
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    _, edges = _graph(spark, sf_dir)
+    return ktruss(edges, k=3)
+
+
 def _q_bfs_conv_r8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source directed BFS from a conversation-entity seed slice, 8
     fixed rounds — mirrors the unrolled twin round-for-round (fixed-rounds
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
         "graph_kcore3": _q_kcore3,
+        "graph_ktruss3": _q_ktruss3,
         "graph_bfs_conv_r8": _q_bfs_conv_r8,
         "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
@@ -1031,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "graph_kcore3": osql.kcore_query_sql(k=3, rounds=16),
+        "graph_ktruss3": osql.ktruss_query_sql(k=3, rounds=10),
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),

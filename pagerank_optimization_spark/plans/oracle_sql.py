@@ -1075,3 +1075,47 @@ def tool_transitions_query_sql(dialect: str = "duckdb", round_to: int = 8) -> st
         f"WITH transcripts AS ({transcripts_from_events_sql('events', dialect)}) "
         + tool_transitions_sql(round_to=round_to)
     )
+
+
+def ktruss_query_sql(k: int = 4, rounds: int = 10, dialect: str = "duckdb") -> str:
+    """a, b — twin of operators.triangles.ktruss (unrolled support peeling
+    on the canonical undirected edge set, lexicographic orientation; the
+    Spark default's degree orientation changes only the plan). Exact iff
+    peeling stabilizes within ``rounds`` — self-checking via the loud
+    '!ktruss-not-converged' sentinel row (the kcore_query_sql pattern)."""
+    m = _mat(dialect)
+    steps = [
+        f"""e0 AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f"""
+t{i} AS {m}(
+  SELECT e1.a AS v0, e1.b AS v1, e2.b AS v2
+  FROM e{p} e1
+  JOIN e{p} e2 ON e2.a = e1.b
+  JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{i} AS {m}(
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT v0 AS a, v1 AS b FROM t{i}
+    UNION ALL SELECT v1 AS a, v2 AS b FROM t{i}
+    UNION ALL SELECT v0 AS a, v2 AS b FROM t{i}
+  ) u GROUP BY a, b
+),
+e{i} AS {m}(
+  SELECT e.a, e.b FROM e{p} e
+  JOIN s{i} s ON e.a = s.a AND e.b = s.b
+  WHERE s.sup >= {k - 2}
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT a, b FROM e{rounds}\n"
+        "UNION ALL\n"
+        "SELECT '!ktruss-not-converged' AS a, '' AS b "
+        f"WHERE (SELECT count(*) FROM e{rounds - 1}) <> (SELECT count(*) FROM e{rounds})"
+    )

@@ -90,3 +90,52 @@ def test_bfs_seeds_not_in_vertices_ignored(spark):
     seeds = spark.createDataFrame([("a",), ("ghost",)], "entity string")
     got = {r.entity: r.dist for r in bfs_distances(vertices, edges, seeds).collect()}
     assert got == {"a": 0, "b": 1}
+
+
+@pytest.mark.parametrize("degree_oriented", [True, False])
+def test_ktruss_known_graph(spark, degree_oriented):
+    """K4 ∪ a pendant triangle sharing vertex a: the 4-truss is exactly K4
+    (pendant-triangle edges have support 1 and peel; K4 edges keep
+    support 2 among themselves)."""
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pend = [("a", "e"), ("a", "f"), ("e", "f")]
+    e = spark.createDataFrame(k4 + pend, "src string, dst string")
+    got = sorted((r.a, r.b) for r in ktruss(e, k=4, degree_oriented=degree_oriented).collect())
+    assert got == sorted(k4)
+    # k=3 keeps every edge (each is in ≥1 triangle)
+    got3 = sorted((r.a, r.b) for r in ktruss(e, k=3, degree_oriented=degree_oriented).collect())
+    assert got3 == sorted(k4 + pend)
+
+
+def test_ktruss_cascade_to_empty(spark):
+    """Two triangles sharing edge (b, c): (b, c) starts with support 2 but
+    every other edge has support 1 — round 1 removes them, round 2 finds
+    (b, c) with support 0. The 4-truss must cascade to EMPTY, which
+    requires the per-round support recompute (a one-shot filter would
+    wrongly keep (b, c))."""
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    assert ktruss(e, k=4).count() == 0
+
+
+def test_ktruss_undirected_canonicalization(spark):
+    """Directed multi-edges, reverses, and self-loops collapse to the
+    canonical undirected set before peeling."""
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted((r.a, r.b) for r in ktruss(e, k=3).collect())
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_ktruss_k_below_3_raises(spark):
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        ktruss(e, k=2)
