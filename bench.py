@@ -186,6 +186,26 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.triangles import ktruss
+
+    timed_min(
+        "graph_ktruss3",
+        lambda: ktruss(edges, k=3, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
+    from pagerank_optimization_spark.operators.structure import knn_curve
+
+    timed_min("graph_knn_curve", lambda: knn_curve(edges).count(), n=oneshot_trials)
+
+    from pagerank_optimization_spark.operators.sessions import tool_transitions
+
+    timed_min(
+        "transcripts_tool_transitions",
+        lambda: tool_transitions(transcripts_from_events(events)).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import (
         neighbor_jaccard_pairs,
     )
