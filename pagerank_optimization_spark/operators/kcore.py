@@ -50,7 +50,12 @@ def kcore(
     sym = symmetrize(edges).repartition(partitions, "a").persist()
     sym.count()
 
-    alive = vertices.select("entity").distinct().persist()
+    # eager localCheckpoint per round, not persist: the per-round plan
+    # references `alive` twice (both semi-joins) and would nest every prior
+    # round's lineage — Catalyst re-analysis compounds on deep peels (the
+    # measured ktruss hazard, operators.triangles.ktruss). The checkpoint
+    # keeps each round's plan shallow; `sym` stays persisted and reused.
+    alive = vertices.select("entity").distinct().localCheckpoint(eager=True)
     n_alive = alive.count()
     metrics: list[dict] = []
 
@@ -67,7 +72,7 @@ def kcore(
             deg.filter(F.col("deg") >= k)
             .select(F.col("a").alias("entity"))
             .repartition(partitions, "entity")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         n_next = nxt.count()
         metrics.append(
@@ -79,7 +84,8 @@ def kcore(
             }
         )
         stable = n_next == n_alive
-        alive.unpersist()
+        # no unpersist: checkpointed round states are reclaimed by the
+        # ContextCleaner once unreferenced
         alive, n_alive = nxt, n_next
         if stable or n_alive == 0:
             break
