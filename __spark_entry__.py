@@ -834,6 +834,16 @@ def _q_docs_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme) over the document corpus —
+    guaranteed shared fingerprint for any ≥ w+k−1-char normalized
+    substring match; portable poly-hash, two bounded per-doc windows."""
+    from pagerank_optimization_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=7, w=8)
+
+
 def _q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup cascade (exact → portable-MinHash-LSH → CC family
     collapse) as ONE oracle-checked query: surviving doc_ids. The SQL twin
@@ -1008,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_cap": _q_docs_source_cap,
         "docs_contamination": _q_docs_contamination,
         "docs_dedup_lines": _q_docs_dedup_lines,
+        "docs_winnow": _q_docs_winnow,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
         "docs_dedup_incremental": _q_docs_dedup_incremental,
@@ -1126,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             k=CONTAM_K, bench_rate=CONTAM_RATE, bench_salt="bench"
         ),
         "docs_dedup_lines": osql_docs.docs_dedup_lines_sql(),
+        "docs_winnow": osql_docs.docs_winnow_sql(k=7, w=8),
         "docs_dedup_incremental": osql_docs.docs_dedup_incremental_sql(
             new_rate=0.2, salt="incr"
         ),

@@ -811,3 +811,75 @@ def substring_dup_spans(
         F.col("b_start").cast("long").alias("b_start"),
         (F.col("run_len") + F.lit(k - 1)).cast("long").alias("match_tokens"),
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    *,
+    k: int = 7,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS scheme): → (id, pos, gram_hash) — the selected character-k-gram
+    hashes with their 1-based positions in the normalized text. Any two
+    documents sharing a substring of ≥ w+k−1 normalized characters are
+    GUARANTEED to share a fingerprint (the winnowing coverage property),
+    at expected density 2/(w+1) — the passage-level near-dup detector
+    between exact line dedup and MinHash.
+
+    Selection rule: a gram is selected iff its hash is the minimum of at
+    least one full window of w consecutive gram hashes ("all-argmin"
+    winnowing — on in-window ties EVERY minimal position is selected,
+    which keeps the rule order-free and portable; the guarantee only
+    needs ≥1 selection per window). Documents shorter than w+k−1 chars
+    contribute their single all-grams window.
+
+    Implemented as two window passes over the exploded gram table, both
+    plain BIGINT min/max — no structs, no UDFs: (1) per window START p,
+    wmin(p) = min hash over rows [p, p+w−1], kept only for full windows;
+    (2) a gram at q is selected iff max over starts p ∈ [q−w+1, q] of
+    wmin(p) equals h(q) (every such wmin ≤ h(q), so the max hits h(q)
+    iff SOME window's min is exactly it). Hashes are the portable
+    polynomial family (functions.text.poly_hash_expr), reproduced
+    verbatim in the DuckDB twin.
+
+    Scale shape: one explode (bounded per doc by text length), two
+    windows partitioned by id — per-partition state is O(doc length),
+    bounded by construction, no hot key possible; output density 2/(w+1)
+    of the gram count. The poly-hash fold is a codegen'd expression over
+    k chars per gram."""
+    from pagerank_optimization_spark.functions.text import poly_hash_expr
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    npos = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = documents.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: poly_hash_expr(F.substr(norm, i, F.lit(k))),
+            )
+        ).alias("pos0", "h"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+
+    w_fwd = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    w_all = W.partitionBy(id_col)
+    w_bwd = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+
+    with_min = grams.select(
+        id_col,
+        "pos",
+        "h",
+        F.when(
+            F.col("pos")
+            <= F.greatest(F.count("*").over(w_all) - F.lit(w - 1), F.lit(1)),
+            F.min("h").over(w_fwd),
+        ).alias("wmin"),
+    )
+    return (
+        with_min.withColumn("sel", F.max("wmin").over(w_bwd) == F.col("h"))
+        .filter("sel")
+        .select(F.col(id_col), "pos", F.col("h").alias("gram_hash"))
+    )

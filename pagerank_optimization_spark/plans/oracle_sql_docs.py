@@ -1565,3 +1565,38 @@ runs AS (
 SELECT a, b, a_start, b_start, CAST(run_len + {k - 1} AS BIGINT) AS match_tokens
 FROM runs
 """
+
+
+def docs_winnow_sql(k: int = 7, w: int = 8, where: str = "TRUE") -> str:
+    """doc_id, pos, gram_hash — twin of operators.dedup.winnow_fingerprints
+    (all-argmin winnowing over portable poly-hashed char k-grams; the same
+    two-window-pass formulation, full windows only, short docs contribute
+    their single all-grams window)."""
+    return f"""
+WITH n AS (
+  SELECT doc_id, {NORM} AS norm FROM documents WHERE {where}
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(length(norm) - {k - 1}, 1) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(length(norm) - {k - 1}, 1) + 1),
+                               i -> {_poly(f"substring(norm, i::INT, {k})")})) AS h
+  FROM n
+),
+m AS (
+  SELECT doc_id, pos, h,
+         CASE WHEN pos <= greatest(count(*) OVER (PARTITION BY doc_id) - {w - 1}, 1)
+              THEN min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+         END AS wmin
+  FROM g
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, h AS gram_hash
+FROM (
+  SELECT doc_id, pos, h,
+         max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel
+  FROM m
+) q
+WHERE sel = h
+"""

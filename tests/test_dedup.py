@@ -365,3 +365,72 @@ def test_substring_spans_rejects_min_below_k(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         substring_dup_spans(docs, k=5, min_match_tokens=3)
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int):
+    """Independent python recompute of all-argmin winnowing with the
+    portable poly hash."""
+    import re
+
+    P, H0 = 1_125_899_906_842_597, 7
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    npos = max(len(norm) - k + 1, 1)
+    hs = []
+    for i in range(npos):
+        h = H0
+        for c in norm[i : i + k]:
+            h = (h * 31 + ord(c)) % P
+        hs.append(h)
+    n = len(hs)
+    starts = range(max(n - w + 1, 1))
+    sel = set()
+    for p in starts:
+        frame = hs[p : p + w]
+        mn = min(frame)
+        for q, h in enumerate(frame):
+            if h == mn:
+                sel.add((p + q + 1, h))
+    return sel
+
+
+@pytest.mark.parametrize("k,w", [(7, 8), (3, 4)])
+def test_winnow_matches_python(spark, k, w):
+    from pagerank_optimization_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (1, "aaaaaaaaaaaaaaaaaaaa"),  # all-equal hashes: every position ties
+        (2, "short"),                 # shorter than k
+        (3, ""),                      # empty
+        (4, "Spark SQL window functions partition rows and order them by position."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    for did, text in rows:
+        assert got.get(did, set()) == _py_winnow(text, k, w), (did, k, w)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Two docs sharing a ≥ w+k−1-char normalized substring MUST share at
+    least one fingerprint hash (the winnowing coverage property)."""
+    from pagerank_optimization_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 7, 8
+    shared = "the identical plagiarized passage lives right here in both documents"
+    assert len(shared) >= w + k - 1
+    rows = [
+        (0, "Completely unrelated preamble text. " + shared + " And a distinct tail."),
+        (1, "Other opening words entirely; " + shared + " with different closing."),
+        (2, "No overlap with anything else at all in this one, truly unique words."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        fp.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert fp[0] & fp[1], "docs sharing a long substring must share a fingerprint"
+    assert not (fp[0] & fp[2] and fp[1] & fp[2]) or True  # doc 2 may share rare grams; no assertion
