@@ -844,6 +844,16 @@ def _q_docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=7, w=8)
 
 
+def _q_docs_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS near-dup pairs: ≥5 shared winnowing fingerprints at k=12/w=10
+    (≥21-char shared normalized substrings guaranteed covered) — the
+    passage-plagiarism complement to MinHash bag similarity."""
+    from pagerank_optimization_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_pairs(docs, k=12, w=10, min_shared=5)
+
+
 def _q_docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup cascade (exact → portable-MinHash-LSH → CC family
     collapse) as ONE oracle-checked query: surviving doc_ids. The SQL twin
@@ -1019,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": _q_docs_contamination,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "docs_winnow": _q_docs_winnow,
+        "docs_winnow_pairs": _q_docs_winnow_pairs,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "docs_dedup_survivors_semantic": _q_docs_dedup_survivors_semantic,
         "docs_dedup_incremental": _q_docs_dedup_incremental,
@@ -1138,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_dedup_lines": osql_docs.docs_dedup_lines_sql(),
         "docs_winnow": osql_docs.docs_winnow_sql(k=7, w=8),
+        "docs_winnow_pairs": osql_docs.docs_winnow_pairs_sql(k=12, w=10, min_shared=5),
         "docs_dedup_incremental": osql_docs.docs_dedup_incremental_sql(
             new_rate=0.2, salt="incr"
         ),

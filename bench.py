@@ -513,6 +513,21 @@ def main() -> None:
             "skew_caps_fired": dict(dl_caps),
         }
 
+        from pagerank_optimization_spark.operators.dedup import winnow_pairs
+
+        wp_caps: dict[str, int] = {}
+
+        def _winnow_pairs():
+            wp_caps.clear()
+            return winnow_pairs(docs, k=12, w=10, min_shared=5, counters=wp_caps).count()
+
+        n_wp = timed_min("pipe_winnow_pairs", _winnow_pairs, n=oneshot_trials)
+        pipe["winnow_pairs"] = {
+            "pairs_emitted": n_wp,
+            "docs_per_sec": round(n_docs / queries["pipe_winnow_pairs"]),
+            "skew_caps_fired": dict(wp_caps),
+        }
+
         from pagerank_optimization_spark.operators.dedup import dedup_against_corpus
 
         _ib = _sample_bucket(_F.col("doc_id"), "incr")

@@ -883,3 +883,52 @@ def winnow_fingerprints(
         .filter("sel")
         .select(F.col(id_col), "pos", F.col("h").alias("gram_hash"))
     )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    *,
+    k: int = 7,
+    w: int = 8,
+    min_shared: int = 3,
+    max_gram_freq: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counters: dict | None = None,
+) -> DataFrame:
+    """MOSS-style near-dup pairs from winnowing fingerprints: → (a, b,
+    n_shared) with a < b and ≥ ``min_shared`` distinct shared fingerprint
+    hashes — the passage-plagiarism detector (shared LONG substrings) that
+    complements MinHash's bag-of-shingles similarity.
+
+    Scale shape: the candidate join is the shared-fingerprint self-join —
+    cost Σ_h freq(h)² over fingerprint hashes, so boilerplate grams
+    selected by everyone are dropped above ``max_gram_freq`` first (the
+    max_shingle_freq guard; a fingerprint shared by the whole corpus
+    carries no pair signal). Fingerprint density is 2/(w+1) of grams, so
+    the join input is ~4× smaller than the equivalent shingle join before
+    any capping. ``counters``: optional cap-fire dict (bench-only)."""
+    fp = winnow_fingerprints(
+        documents, k=k, w=w, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("id"), F.col("gram_hash").alias("h")).distinct()
+    freq = fp.groupBy("h").agg(F.count("*").alias("hf"))
+    if counters is not None:
+        row = (
+            freq.filter(F.col("hf") > max_gram_freq)
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("hf"), F.lit(0)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        counters["winnow_grams_capped"] = int(row["n"])
+        counters["winnow_gram_rows_capped"] = int(row["rows"])
+    fp = fp.join(freq.filter(F.col("hf") <= max_gram_freq), "h", "left_semi")
+    return (
+        fp.alias("x")
+        .join(fp.alias("y"), "h")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

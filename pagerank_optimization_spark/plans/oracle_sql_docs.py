@@ -1600,3 +1600,24 @@ FROM (
 ) q
 WHERE sel = h
 """
+
+
+def docs_winnow_pairs_sql(
+    k: int = 7, w: int = 8, min_shared: int = 3, max_gram_freq: int = 1000
+) -> str:
+    """a, b, n_shared — twin of operators.dedup.winnow_pairs (distinct
+    per-doc fingerprint hashes, hot-gram cap, shared-hash self-join)."""
+    return f"""
+WITH fp0 AS (
+  SELECT DISTINCT doc_id AS id, gram_hash AS h
+  FROM ({docs_winnow_sql(k=k, w=w)}) wf
+),
+freq AS (SELECT h, count(*) AS hf FROM fp0 GROUP BY h),
+fp AS (
+  SELECT fp0.id, fp0.h FROM fp0 JOIN freq USING (h) WHERE freq.hf <= {max_gram_freq}
+)
+SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fp x JOIN fp y ON x.h = y.h AND x.id < y.id
+GROUP BY x.id, y.id
+HAVING count(*) >= {min_shared}
+"""

@@ -434,3 +434,38 @@ def test_winnow_guarantee_shared_substring(spark):
         fp.setdefault(r.doc_id, set()).add(r.gram_hash)
     assert fp[0] & fp[1], "docs sharing a long substring must share a fingerprint"
     assert not (fp[0] & fp[2] and fp[1] & fp[2]) or True  # doc 2 may share rare grams; no assertion
+
+
+def test_winnow_pairs_detects_planted_passage(spark):
+    """Docs sharing a long passage pair up; unrelated docs don't; the
+    hot-gram cap kills corpus-wide boilerplate signal."""
+    from pagerank_optimization_spark.operators.dedup import winnow_pairs
+
+    passage = "this exact plagiarized paragraph is long enough to guarantee many shared winnowing fingerprints between the two documents that contain it"
+    boiler = " subscribe to our newsletter for updates"
+    rows = [
+        (0, "Intro words. " + passage + boiler),
+        (1, "Different start! " + passage + boiler),
+        (2, "Totally unrelated content about graph engines and parquet files." + boiler),
+        (3, "Another unique document mentioning spark catalyst plans only." + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap 3 drops exactly the grams present in ALL four docs (the planted
+    # boilerplate) while the two-doc passage survives — the cap IS the
+    # boilerplate filter, not just a skew bound
+    caps: dict = {}
+    got = {
+        (r.a, r.b): r.n_shared
+        for r in winnow_pairs(
+            docs, k=7, w=8, min_shared=3, max_gram_freq=3, counters=caps
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert (2, 3) not in got
+    assert caps["winnow_grams_capped"] > 0
+    # uncapped: the boilerplate pairs everything with everything
+    allp = {(r.a, r.b) for r in winnow_pairs(docs, k=7, w=8, min_shared=3).collect()}
+    assert (2, 3) in allp
+    # cap at 1: every fingerprint shared by >1 doc is dropped -> no pairs
+    none = winnow_pairs(docs, k=7, w=8, min_shared=1, max_gram_freq=1)
+    assert none.count() == 0
