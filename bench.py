@@ -519,7 +519,12 @@ def main() -> None:
 
         def _winnow_pairs():
             wp_caps.clear()
-            return winnow_pairs(docs, k=12, w=10, min_shared=5, counters=wp_caps).count()
+            # max_gram_freq=200: on this synthetic corpus (small vocab, so
+            # 12-grams are corpus-common) the cap observably fires (~230
+            # grams / 63k rows at sf0.1) — the boilerplate-filter behavior
+            return winnow_pairs(
+                docs, k=12, w=10, min_shared=5, max_gram_freq=200, counters=wp_caps
+            ).count()
 
         n_wp = timed_min("pipe_winnow_pairs", _winnow_pairs, n=oneshot_trials)
         pipe["winnow_pairs"] = {
