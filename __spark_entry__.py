@@ -173,6 +173,17 @@ def _q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(vertices, edges, k=3)
 
 
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition capped at k=4 (coreness = Σ k-core
+    memberships by nestedness) — each vertex peeled exactly once across
+    the whole loop; twin unrolls four independent 16-round peels with
+    per-k non-convergence sentinels."""
+    from pagerank_optimization_spark.operators.kcore import coreness
+
+    vertices, edges = _graph(spark, sf_dir)
+    return coreness(vertices, edges, max_k=4)
+
+
 def _q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the undirected transcript graph (every surviving edge in
     ≥1 triangle within the subgraph; the 4-truss is empty on this corpus)
@@ -977,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_r4": _q_lpa_r4,
         "graph_kcore3": _q_kcore3,
         "graph_ktruss3": _q_ktruss3,
+        "graph_coreness": _q_coreness,
         "graph_bfs_conv_r8": _q_bfs_conv_r8,
         "graph_sssp_conv_r6": _q_sssp_conv_r6,
         "graph_reach_r2": _q_reach_r2,
@@ -1066,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),
         "graph_kcore3": osql.kcore_query_sql(k=3, rounds=16),
         "graph_ktruss3": osql.ktruss_query_sql(k=3, rounds=10),
+        "graph_coreness": osql.coreness_query_sql(max_k=4, rounds=16),
         "graph_bfs_conv_r8": osql.bfs_query_sql(seed_like="conv:conv-1%", rounds=8),
         "graph_sssp_conv_r6": osql.sssp_query_sql(seed_like="conv:conv-1%", rounds=6),
         "graph_reach_r2": osql.neighborhood_query_sql(r=2),

@@ -92,3 +92,78 @@ def kcore(
 
     sym.unpersist()
     return alive
+
+
+def coreness(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_k: int = 32,
+    max_rounds: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Full core decomposition: → (entity, coreness) where coreness(v) is
+    the largest k with v in the k-core, CAPPED at ``max_k`` (survivors of
+    the max_k peel report max_k — "≥ max_k"). Isolated vertices are 0.
+
+    Cores are nested, so the k-core of the original graph equals the
+    k-core of the (k−1)-core: the loop peels the SHRINKING survivor set
+    at k = 1, 2, … and the vertices dropped while peeling at k have
+    coreness k−1 — each vertex is peeled exactly once across the whole
+    decomposition, so total work is O(Σ_k peel-rounds) over a
+    monotonically shrinking graph. Per-k dropped sets accumulate as
+    (entity, coreness) frames, unioned once at the end (≤ max_k frames,
+    each already checkpointed by the kcore peel discipline); only scalar
+    survivor counts reach the driver."""
+    spark = vertices.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    sym = symmetrize(edges).repartition(partitions, "a").persist()
+    sym.count()
+
+    alive = (
+        vertices.select("entity").distinct()
+        .repartition(partitions, "entity")
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    assigned: list[DataFrame] = []
+
+    for k in range(1, max_k + 1):
+        if n_alive == 0:
+            break
+        # peel at k to fixpoint within the current survivor set
+        for _ in range(max_rounds):
+            deg = (
+                sym.join(alive.select(F.col("entity").alias("a")), "a", "left_semi")
+                .join(alive.select(F.col("entity").alias("b")), "b", "left_semi")
+                .groupBy("a")
+                .agg(F.count("*").alias("deg"))
+            )
+            nxt = (
+                deg.filter(F.col("deg") >= k)
+                .select(F.col("a").alias("entity"))
+                .repartition(partitions, "entity")
+                .localCheckpoint(eager=True)
+            )
+            n_next = nxt.count()
+            stable = n_next == n_alive
+            dropped = alive.join(nxt, "entity", "left_anti")
+            if n_next != n_alive:
+                assigned.append(
+                    dropped.select("entity", F.lit(k - 1).alias("coreness"))
+                    .localCheckpoint(eager=True)
+                )
+            alive, n_alive = nxt, n_next
+            if stable or n_alive == 0:
+                break
+
+    if n_alive > 0:
+        assigned.append(alive.select("entity", F.lit(max_k).alias("coreness")))
+    sym.unpersist()
+    if not assigned:
+        return vertices.select("entity", F.lit(0).alias("coreness")).limit(0)
+    out = assigned[0]
+    for df in assigned[1:]:
+        out = out.unionByName(df)
+    return out

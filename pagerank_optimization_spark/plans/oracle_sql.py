@@ -1119,3 +1119,54 @@ e{i} AS {m}(
         "SELECT '!ktruss-not-converged' AS a, '' AS b "
         f"WHERE (SELECT count(*) FROM e{rounds - 1}) <> (SELECT count(*) FROM e{rounds})"
     )
+
+
+def coreness_query_sql(max_k: int = 4, rounds: int = 16, dialect: str = "duckdb") -> str:
+    """entity, coreness — twin of operators.kcore.coreness capped at
+    ``max_k``: coreness(v) = Σ_{k=1..max_k} 1[v ∈ k-core] (cores are
+    nested, so the indicator sum IS the capped core number). Each k-core
+    is an independent ``rounds``-round unrolled peel from the full edge
+    set — equal to the loop's peel-from-the-(k−1)-core by nestedness.
+    Self-checking: any k whose peel hasn't stabilized within ``rounds``
+    emits the loud '!coreness-not-converged' row."""
+    m = _mat(dialect)
+    steps = [
+        f"""sym AS {m}(
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+)"""
+    ]
+    sentinels = []
+    for k in range(1, max_k + 1):
+        steps.append(f"k{k}a0 AS {m}(SELECT entity FROM vertices)")
+        for i in range(1, rounds + 1):
+            p = i - 1
+            steps.append(f"""
+k{k}d{i} AS {m}(
+  SELECT s.a AS entity, count(*) AS deg
+  FROM sym s
+  JOIN k{k}a{p} x ON s.a = x.entity
+  JOIN k{k}a{p} y ON s.b = y.entity
+  GROUP BY s.a
+),
+k{k}a{i} AS {m}(
+  SELECT entity FROM k{k}d{i} WHERE deg >= {k}
+)""")
+        sentinels.append(
+            f"SELECT '!coreness-not-converged' AS entity, {k} AS coreness "
+            f"WHERE (SELECT count(*) FROM k{k}a{rounds - 1}) <> (SELECT count(*) FROM k{k}a{rounds})"
+        )
+    members = "\nUNION ALL\n".join(
+        f"SELECT entity FROM k{k}a{rounds}" for k in range(1, max_k + 1)
+    )
+    body = ",\n".join(steps)
+    sentinel_sql = "\nUNION ALL\n".join(sentinels)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body},\n"
+        f"membership AS {m}(\n{members}\n)\n"
+        "SELECT v.entity, CAST(coalesce(mc.c, 0) AS INTEGER) AS coreness\n"
+        "FROM vertices v LEFT JOIN (SELECT entity, count(*) AS c FROM membership GROUP BY entity) mc\n"
+        "  ON v.entity = mc.entity\n"
+        "UNION ALL\n" + sentinel_sql
+    )

@@ -139,3 +139,65 @@ def test_ktruss_k_below_3_raises(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         ktruss(e, k=2)
+
+
+def _py_coreness(edges, vertices, cap):
+    """Independent python peeling recompute (capped)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(vertices)
+    core = {v: 0 for v in vertices}
+    for k in range(1, cap + 1):
+        changed = True
+        while changed:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            changed = bool(drop)
+            for v in drop:
+                core[v] = k - 1
+            alive -= drop
+        for v in alive:
+            core[v] = k
+    return core
+
+
+def test_coreness_known_graph(spark):
+    """Triangle (coreness 2) + tail (1) + isolated vertex (0) + K4 (3)."""
+    from pagerank_optimization_spark.operators.kcore import coreness
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # triangle
+        ("c", "t"),                           # tail off the triangle
+        ("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s"),  # K4
+    ]
+    verts = ["a", "b", "c", "t", "p", "q", "r", "s", "iso"]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in verts], "entity string")
+    got = {r.entity: r.coreness for r in coreness(v, e, max_k=8).collect()}
+    assert got == _py_coreness(edges, verts, 8)
+    assert got["iso"] == 0 and got["t"] == 1 and got["a"] == 2 and got["p"] == 3
+
+
+def test_coreness_cap_floors_survivors(spark):
+    from pagerank_optimization_spark.operators.kcore import coreness
+
+    k4 = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s")]
+    e = spark.createDataFrame(k4, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in "pqrs"], "entity string")
+    got = {r.entity: r.coreness for r in coreness(v, e, max_k=2).collect()}
+    assert got == {x: 2 for x in "pqrs"}
+
+
+def test_coreness_matches_kcore_membership(spark, graph):
+    """coreness ≥ k ⟺ member of kcore(k) on the derived sf graph."""
+    from pagerank_optimization_spark.operators.kcore import coreness, kcore
+
+    v, e, _, _ = graph
+    cor = {r.entity: r.coreness for r in coreness(v, e, max_k=4).collect()}
+    for k in (1, 3):
+        members = {r.entity for r in kcore(v, e, k=k).collect()}
+        assert members == {x for x, c in cor.items() if c >= k}
