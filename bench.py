@@ -194,6 +194,14 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.kcore import coreness
+
+    timed_min(
+        "graph_coreness_c4",
+        lambda: coreness(vertices, edges, max_k=4, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import knn_curve
 
     timed_min("graph_knn_curve", lambda: knn_curve(edges).count(), n=oneshot_trials)
