@@ -748,6 +748,20 @@ def _q_hits_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (Lempel & Moran) — degree-normalized HITS, 5 iterations,
+    L1-normalized per half-step: forward votes split 1/outdeg, backward
+    votes split 1/indeg, so the walk form resists fan-out inflation (the
+    unrolled twin reproduces both weighted half-steps per round,
+    plans.oracle_sql.salsa_query_sql)."""
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    vertices, edges = _graph(spark, sf_dir)
+    return salsa(vertices, edges, k=5).select(
+        "entity", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
+
+
 def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
         mean_word_len_expr,
@@ -979,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted_k5": _q_pagerank_weighted_k5,
         "graph_pagerank_decay_k5": _q_pagerank_decay_k5,
         "graph_hits_k5": _q_hits_k5,
+        "graph_salsa_k5": _q_salsa_k5,
         "graph_cc_r16": _q_cc_r16,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
@@ -1069,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
             k=5, halflife_s=259200.0
         ),
         "graph_hits_k5": osql.hits_query_sql(k=5),
+        "graph_salsa_k5": osql.salsa_query_sql(k=5),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_scc": osql.scc_query_sql(),
         "graph_bowtie": osql.bowtie_query_sql(),

@@ -570,6 +570,52 @@ h{i} AS {m}(
     )
 
 
+def salsa_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
+    """Unrolled K-iteration SALSA (degree-normalized HITS) with L1
+    normalization after every half-step — mirrors operators.salsa.salsa()
+    exactly: forward votes split 1/outdeg(src), backward votes split
+    1/indeg(dst); a zero sum leaves the vector all-zero via nullif."""
+    m = _mat(dialect)
+    steps = [f"nv AS {m}(SELECT count(*) AS n FROM vertices)"]
+    steps.append(f"""
+sod AS {m}(SELECT src, count(*) AS od FROM edges GROUP BY src),
+sid AS {m}(SELECT dst, count(*) AS idg FROM edges GROUP BY dst),
+sew AS {m}(
+  SELECT e.src, e.dst, 1.0 / o.od AS w_fwd, 1.0 / i.idg AS w_bwd
+  FROM edges e JOIN sod o ON e.src = o.src JOIN sid i ON e.dst = i.dst
+),
+h0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS s FROM vertices)""")
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+araw{i} AS {m}(
+  SELECT e.dst AS entity, sum(h.s * e.w_fwd) AS raw
+  FROM sew e JOIN h{p} h ON e.src = h.entity
+  GROUP BY e.dst
+),
+a{i} AS {m}(
+  SELECT v.entity,
+         coalesce(r.raw / nullif((SELECT sum(raw) FROM araw{i}), 0), 0) AS s
+  FROM vertices v LEFT JOIN araw{i} r ON v.entity = r.entity
+),
+hraw{i} AS {m}(
+  SELECT e.src AS entity, sum(a.s * e.w_bwd) AS raw
+  FROM sew e JOIN a{i} a ON e.dst = a.entity
+  GROUP BY e.src
+),
+h{i} AS {m}(
+  SELECT v.entity,
+         coalesce(r.raw / nullif((SELECT sum(raw) FROM hraw{i}), 0), 0) AS s
+  FROM vertices v LEFT JOIN hraw{i} r ON v.entity = r.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT a.entity, round(a.s, {round_to}) AS auth, round(h.s, {round_to}) AS hub\n"
+        f"FROM a{k} a JOIN h{k} h ON a.entity = h.entity"
+    )
+
+
 def neighborhood_query_sql(r: int = 2, dialect: str = "duckdb") -> str:
     """Unrolled exact neighborhood function — mirrors
     operators.neighborhood.neighborhood_reach(r) round-for-round:

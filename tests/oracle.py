@@ -249,6 +249,33 @@ def hits_dense(
     return {v: (float(a[idx[v]]), float(h[idx[v]])) for v in vertices}
 
 
+def salsa_dense(
+    vertices: list[str], edges: set[tuple[str, str]], k: int = 5
+) -> dict[str, tuple[float, float]]:
+    """K-iteration SALSA (degree-normalized HITS) with L1 normalization
+    after every half-step — the twin of operators.salsa.salsa().
+    → {entity: (auth, hub)}."""
+    n = len(vertices)
+    idx = {v: i for i, v in enumerate(vertices)}
+    A = np.zeros((n, n), dtype=np.float64)  # A[src, dst] = 1 per edge
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    od = A.sum(axis=1)  # outdeg per src
+    idg = A.sum(axis=0)  # indeg per dst
+    Wf = np.divide(A, od[:, None], out=np.zeros_like(A), where=od[:, None] > 0)
+    Wb = np.divide(A, idg[None, :], out=np.zeros_like(A), where=idg[None, :] > 0)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(k):
+        a = Wf.T @ h
+        s = a.sum()
+        a = a / s if s > 0 else a * 0.0
+        h = Wb @ a
+        s = h.sum()
+        h = h / s if s > 0 else h * 0.0
+    return {v: (float(a[idx[v]]), float(h[idx[v]])) for v in vertices}
+
+
 def sssp_distances(
     edge_w: dict[tuple[str, str], int],
     seeds: set[str],

@@ -53,6 +53,48 @@ def test_hits_rejects_k0(spark):
         hits(vertices, edges, k=0)
 
 
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_salsa_matches_numpy(graph, k):
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    transcripts, rows, o_vertices, o_edges = graph
+    vertices, wedges = build_graph(transcripts)
+    got = {r.entity: (r.auth, r.hub) for r in salsa(vertices, wedges, k=k).collect()}
+    want = oracle.salsa_dense(o_vertices, o_edges, k=k)
+    assert got.keys() == want.keys()
+    for v, (a, h) in want.items():
+        assert abs(got[v][0] - a) < TOL, f"auth {v}"
+        assert abs(got[v][1] - h) < TOL, f"hub {v}"
+
+
+def test_salsa_differs_from_hits(graph):
+    """Sanity: on a Zipf-skewed graph the degree split must actually move
+    the ranking relative to raw HITS (else the operator is vacuous)."""
+    transcripts, rows, o_vertices, o_edges = graph
+    s = oracle.salsa_dense(o_vertices, o_edges, k=5)
+    h = oracle.hits_dense(o_vertices, o_edges, k=5)
+    assert max(abs(s[v][0] - h[v][0]) for v in s) > 1.0e-6
+
+
+def test_salsa_edgeless_graph_all_zero(spark):
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    vertices = spark.createDataFrame([("a",), ("b",)], "entity string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    rows = salsa(vertices, edges, k=2).collect()
+    assert {r.entity for r in rows} == {"a", "b"}
+    assert all(r.auth == 0.0 and r.hub == 0.0 for r in rows)
+
+
+def test_salsa_rejects_k0(spark):
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    vertices = spark.createDataFrame([("a",)], "entity string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError):
+        salsa(vertices, edges, k=0)
+
+
 @pytest.mark.parametrize("kernel", ["join-agg", "csr-blocks"])
 def test_pagerank_weighted_matches_numpy(graph, kernel):
     """Count-weighted (row-stochastic multigraph) PageRank through BOTH
