@@ -762,6 +762,17 @@ def _q_salsa_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness_s24_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled depth-bounded Brandes betweenness: 24 portable-MD5
+    pivots, shortest paths ≤ 4 hops — the broker/chokepoint score the
+    walk-stationary family can't see (level-unrolled twin
+    plans.oracle_sql.betweenness_query_sql reproduces both passes)."""
+    from pagerank_optimization_spark.operators.betweenness import betweenness
+
+    vertices, edges = _graph(spark, sf_dir)
+    return betweenness(vertices, edges, n_sources=24, max_depth=4)
+
+
 def _q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.functions.text import (
         mean_word_len_expr,
@@ -994,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_decay_k5": _q_pagerank_decay_k5,
         "graph_hits_k5": _q_hits_k5,
         "graph_salsa_k5": _q_salsa_k5,
+        "graph_betweenness_s24": _q_betweenness_s24_d4,
         "graph_cc_r16": _q_cc_r16,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
@@ -1085,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_salsa_k5": osql.salsa_query_sql(k=5),
+        "graph_betweenness_s24": osql.betweenness_query_sql(n_sources=24, max_depth=4),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_scc": osql.scc_query_sql(),
         "graph_bowtie": osql.bowtie_query_sql(),

@@ -616,6 +616,66 @@ h{i} AS {m}(
     )
 
 
+def betweenness_query_sql(
+    n_sources: int = 24, max_depth: int = 4, dialect: str = "duckdb", round_to: int = 8
+) -> str:
+    """entity, bc — twin of operators.betweenness.betweenness(): sampled
+    depth-bounded Brandes, unrolled level-for-level. Pivots are the
+    n_sources entities first in md5 order (the engine's portable
+    F.md5(cast binary) over utf-8 matches md5(text) here). Forward CTEs
+    l0..lD carry (s, v, d, sigma); backward CTEs bD..b1 carry δ per
+    level, each gathering σ_v/σ_w·(1+δ_w) from its children; bc sums δ
+    over all levels ≥ 1 (the deepest level's δ is 0 by the bound)."""
+    m = _mat(dialect)
+    d = max_depth
+    steps = [
+        f"srcs AS {m}(SELECT entity AS s FROM vertices ORDER BY md5(entity), entity LIMIT {n_sources})",
+        f"l0 AS {m}(SELECT s, s AS v, 0 AS d, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+    ]
+    for i in range(1, d + 1):
+        p = i - 1
+        steps.append(f"""
+c{i} AS {m}(
+  SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma
+  FROM l{p} p JOIN edges e ON p.v = e.src
+  WHERE p.d = {p}
+  GROUP BY p.s, e.dst
+),
+l{i} AS {m}(
+  SELECT s, v, d, sigma FROM l{p}
+  UNION ALL
+  SELECT c.s, c.v, {i} AS d, c.sigma
+  FROM c{i} c
+  WHERE NOT EXISTS (SELECT 1 FROM l{p} x WHERE x.s = c.s AND x.v = c.v)
+)""")
+    steps.append(
+        f"b{d} AS {m}(SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM l{d} WHERE d = {d})"
+    )
+    for j in range(d - 1, 0, -1):
+        steps.append(f"""
+b{j} AS {m}(
+  SELECT a.s, a.v, a.sigma, coalesce(dep.dep, 0) AS delta
+  FROM (SELECT s, v, sigma FROM l{d} WHERE d = {j}) a
+  LEFT JOIN (
+    SELECT a2.s, a2.v, sum(a2.sigma / w.sigma * (1 + w.delta)) AS dep
+    FROM (SELECT s, v, sigma FROM l{d} WHERE d = {j}) a2
+    JOIN edges e ON a2.v = e.src
+    JOIN b{j + 1} w ON w.s = a2.s AND w.v = e.dst
+    GROUP BY a2.s, a2.v
+  ) dep ON dep.s = a.s AND dep.v = a.v
+)""")
+    union = "\n  UNION ALL\n  ".join(f"SELECT v, delta FROM b{j}" for j in range(1, d + 1))
+    body = ",\n".join(steps)
+    return f"""WITH {graph_ctes(dialect)},
+{body},
+alldep AS (
+  {union}
+),
+bcv AS (SELECT v AS entity, round(sum(delta), {round_to}) AS bc FROM alldep GROUP BY v)
+SELECT vv.entity, coalesce(b.bc, 0.0) AS bc
+FROM vertices vv LEFT JOIN bcv b ON vv.entity = b.entity"""
+
+
 def neighborhood_query_sql(r: int = 2, dialect: str = "duckdb") -> str:
     """Unrolled exact neighborhood function — mirrors
     operators.neighborhood.neighborhood_reach(r) round-for-round:

@@ -276,6 +276,51 @@ def salsa_dense(
     return {v: (float(a[idx[v]]), float(h[idx[v]])) for v in vertices}
 
 
+def betweenness_sampled(
+    vertices: list[str],
+    edges: set[tuple[str, str]],
+    sources: list[str],
+    max_depth: int,
+) -> dict[str, float]:
+    """Depth-bounded Brandes from an explicit pivot list — the twin of
+    operators.betweenness.betweenness(): bc(v) = Σ_s δ_s(v) counting only
+    shortest paths of length ≤ max_depth. → {entity: bc} (unrounded)."""
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    bc = {v: 0.0 for v in vertices}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        frontier = [s]
+        depth = 0
+        while frontier and depth < max_depth:
+            depth += 1
+            found: dict[str, float] = {}
+            for u in frontier:
+                for w in adj.get(u, []):
+                    if w in dist:
+                        continue
+                    found[w] = found.get(w, 0.0) + sigma[u]
+            for w, c in found.items():
+                dist[w] = depth
+                sigma[w] = c
+            frontier = sorted(found)
+            if frontier:
+                levels.append(frontier)
+        delta = {v: 0.0 for v in dist}
+        for dlev in range(len(levels) - 2, 0, -1):
+            for v in levels[dlev]:
+                tot = 0.0
+                for w in adj.get(v, []):
+                    if dist.get(w) == dlev + 1:
+                        tot += sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] = tot
+                bc[v] += tot
+    return bc
+
+
 def sssp_distances(
     edge_w: dict[tuple[str, str], int],
     seeds: set[str],
