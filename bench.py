@@ -202,6 +202,22 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    timed_min(
+        "graph_salsa_k5",
+        lambda: salsa(vertices, edges, k=5, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
+    from pagerank_optimization_spark.operators.betweenness import betweenness
+
+    timed_min(
+        "graph_betweenness_s24_d4",
+        lambda: betweenness(vertices, edges, n_sources=24, max_depth=4, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import knn_curve
 
     timed_min("graph_knn_curve", lambda: knn_curve(edges).count(), n=oneshot_trials)

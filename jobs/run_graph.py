@@ -7,8 +7,10 @@ pagerank_optimization_spark.zip jobs/run_graph.py ...``).
 
 ``--algo``: cc (connected components, pointer-doubled fixpoint), lpa
 (label propagation, --rounds), triangles (global count), clustering
-(per-vertex coefficients). cc and lpa accept --checkpoint for durable
-per-round labels + kill-resume (same commit protocol as PageRank).
+(per-vertex coefficients), hits / salsa (--rounds = k iterations),
+betweenness (64 MD5 pivots, --rounds = depth bound). cc and lpa accept
+--checkpoint for durable per-round labels + kill-resume (same commit
+protocol as PageRank).
 """
 
 from __future__ import annotations
@@ -27,7 +29,9 @@ def main(argv=None) -> int:
     src.add_argument("--transcripts", help="parquet path with the transcript schema")
     src.add_argument("--events", help="events parquet to derive transcripts from")
     ap.add_argument(
-        "--algo", required=True, choices=["cc", "scc", "lpa", "triangles", "clustering"]
+        "--algo", required=True,
+        choices=["cc", "scc", "lpa", "triangles", "clustering", "hits", "salsa",
+                 "betweenness"],
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -85,6 +89,30 @@ def main(argv=None) -> int:
             rounds=args.rounds if args.rounds is not None else 10,
             until_stable=args.until_stable,
             partitions=args.partitions, checkpointer=cm,
+        )
+    elif args.algo == "hits":
+        from pagerank_optimization_spark.operators.hits import hits
+
+        out = hits(
+            vertices, edges,
+            k=args.rounds if args.rounds is not None else 5,
+            partitions=args.partitions,
+        )
+    elif args.algo == "salsa":
+        from pagerank_optimization_spark.operators.salsa import salsa
+
+        out = salsa(
+            vertices, edges,
+            k=args.rounds if args.rounds is not None else 5,
+            partitions=args.partitions,
+        )
+    elif args.algo == "betweenness":
+        from pagerank_optimization_spark.operators.betweenness import betweenness
+
+        out = betweenness(
+            vertices, edges, n_sources=64,
+            max_depth=args.rounds if args.rounds is not None else 4,
+            partitions=args.partitions,
         )
     elif args.algo == "triangles":
         from pagerank_optimization_spark.operators.triangles import triangle_count
