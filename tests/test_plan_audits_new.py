@@ -126,3 +126,34 @@ def test_mix_weights_partial_agg(docs):
     df = source_mix_weights(docs, alpha=0.7)
     assert "Python" not in physical_plan(df)
     assert_partial_aggregation(df)
+
+
+def test_salsa_half_step_partial_agg_no_funnel(spark):
+    """The SALSA gather is the PageRank contribution-sum shape: the
+    degree-split σ·w sum must partially aggregate (in-degree hubs collapse
+    map-side) and the loop must never compile a single-partition funnel."""
+    from pagerank_optimization_spark.operators.salsa import salsa
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], "entity string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], "src string, dst string"
+    )
+    out = salsa(v, e, k=1, partitions=4)
+    plan = physical_plan(out)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_betweenness_forward_level_partial_agg(spark):
+    """The forward σ-sum groupBy((s,v)) must have a map-side partial phase
+    — that combine is what absorbs in-degree hubs when all pivots advance
+    together — and the final plan must not funnel to one partition."""
+    from pagerank_optimization_spark.operators.betweenness import betweenness
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "entity string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+    )
+    out = betweenness(v, e, sources=["a", "b"], max_depth=3, partitions=4)
+    plan = physical_plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 2
