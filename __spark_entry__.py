@@ -477,6 +477,29 @@ def _q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, 50)
 
 
+def _q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-400 vocabulary (slope ≈ −1 on natural
+    corpora — the boilerplate/template-flood diagnostic): rides the
+    vocab_topk TakeOrdered cut, regression is ONE closed-form aggregate
+    over ≤ 400 rows (plans.oracle_sql_docs.docs_zipf_fit_sql twin)."""
+    from pagerank_optimization_spark.operators.vocab import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, top_n=400, skip_ranks=5)
+
+
+def _q_docs_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau): the engine's OWN
+    PageRank kernel over the token co-occurrence graph — symmetric
+    window-2 events, min_count 3 sparsification, 10 supersteps (the twin
+    reuses the transcript-graph twin's unroll verbatim over token CTEs,
+    plans.oracle_sql_docs.docs_textrank_sql)."""
+    from pagerank_optimization_spark.operators.textrank import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, window=2, min_count=3, k0=10)
+
+
 def _q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: top-40 adjacent char pairs
     weighted by word frequency — the corpus pass of Sennrich-style BPE,
@@ -1052,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
         "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_zipf_fit": _q_docs_zipf_fit,
+        "docs_textrank": _q_docs_textrank,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_merges": _q_docs_bpe_merges,
         "docs_bpe_encode": _q_docs_bpe_encode,
@@ -1168,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_b512": osql_docs.docs_pack_sql(512),
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
+        "docs_zipf_fit": osql_docs.docs_zipf_fit_sql(top_n=400, skip_ranks=5),
+        "docs_textrank": osql_docs.docs_textrank_sql(window=2, min_count=3, k0=10),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_bpe_merges": osql_docs.docs_bpe_merges_sql(8),
         "docs_bpe_encode": osql_docs.docs_bpe_encode_sql(4),

@@ -505,6 +505,23 @@ def main() -> None:
         )
         pipe["pmi_docs_per_sec"] = round(n_docs / queries["pipe_pmi_pairs"])
 
+        from pagerank_optimization_spark.operators.textrank import textrank_keywords
+
+        timed_min(
+            "pipe_textrank",
+            lambda: textrank_keywords(docs, window=2, min_count=3, k0=10).count(),
+            n=oneshot_trials,
+        )
+        pipe["textrank_docs_per_sec"] = round(n_docs / queries["pipe_textrank"])
+
+        from pagerank_optimization_spark.operators.vocab import zipf_fit
+
+        timed_min(
+            "pipe_zipf_fit",
+            lambda: zipf_fit(docs, top_n=400, skip_ranks=5).count(),
+            n=oneshot_trials,
+        )
+
         from pagerank_optimization_spark.operators.quality import corpus_profile
 
         timed_min(

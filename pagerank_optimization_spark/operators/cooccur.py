@@ -41,6 +41,28 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_expr
 
 
+def window_events(ts: DataFrame, window: int) -> DataFrame:
+    """→ (x, y): one row per within-document token pair at positions
+    (i, i+j), j = 1..window, from a one-column frame of token arrays
+    ``ts``. Events at each offset j are zip(ts[1..L−j], ts[1+j..L]) —
+    array algebra only (slice + arrays_zip + explode), one generated row
+    per (position, offset), no join, no Python. Shared by pmi_pairs and
+    textrank_keywords so their co-occurrence models are identical."""
+    events = None
+    for j in range(1, window + 1):
+        n = F.greatest(F.size("ts") - F.lit(j), F.lit(0))
+        pairs_j = ts.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n).alias("x"),
+                    F.slice("ts", j + 1, n).alias("y"),
+                )
+            ).alias("p")
+        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        events = pairs_j if events is None else events.unionByName(pairs_j)
+    return events
+
+
 def pmi_pairs(
     docs: DataFrame,
     *,
@@ -61,21 +83,7 @@ def pmi_pairs(
     if min_count < 1:
         raise ValueError(f"pmi_pairs: min_count must be ≥ 1, got {min_count}")
     ts = docs.select(tokens_expr(F.col(text_col)).alias("ts"))
-
-    # events at each offset j: zip(ts[1..L-j], ts[1+j..L]) — array algebra
-    # only, one generated row per (position, offset), no join
-    events = None
-    for j in range(1, window + 1):
-        n = F.greatest(F.size("ts") - F.lit(j), F.lit(0))
-        pairs_j = ts.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("ts", 1, n).alias("x"),
-                    F.slice("ts", j + 1, n).alias("y"),
-                )
-            ).alias("p")
-        ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-        events = pairs_j if events is None else events.unionByName(pairs_j)
+    events = window_events(ts, window)
 
     directed = events.select(F.col("x").alias("a"), F.col("y").alias("b")).unionByName(
         events.select(F.col("y").alias("a"), F.col("x").alias("b"))

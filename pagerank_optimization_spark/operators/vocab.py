@@ -341,3 +341,45 @@ def bpe_encode(
         F.coalesce("n_subwords", F.lit(0).cast("long")).alias("n_subwords"),
         F.coalesce("subword_text", F.lit("")).alias("subword_text"),
     )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    top_n: int = 1000,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    skip_ranks: int = 0,
+) -> DataFrame:
+    """→ one row (slope, intercept, tokens_fit): OLS fit of
+    ln(cf) = slope·ln(rank) + intercept over the ``top_n`` most frequent
+    tokens — the Zipf-law diagnostic (natural corpora slope ≈ −1; a
+    boilerplate-flooded or template-heavy crawl bends it). ``skip_ranks``
+    drops the first few ranks (function words routinely sit above the
+    Zipf line; Piantadosi 2014 reviews the fit conventions).
+
+    Scale shape: rides vocab_topk — the corpus collapses to the token
+    frequency table with map-side combine, the top-N cut is
+    TakeOrderedAndProject (never a global sort), and the regression runs
+    as ONE aggregate over ≤ top_n rows (the closed-form OLS sums — no
+    per-row driver work, no window over the corpus)."""
+    top = vocab_topk(documents, top_n, text_col=text_col, id_col=id_col)
+    pts = top.filter(F.col("rank") > skip_ranks).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.col("n").alias("tokens_fit"),
+    )

@@ -97,9 +97,11 @@ def outdegree_query_sql(dialect: str = "duckdb") -> str:
     return f"WITH {graph_ctes(dialect)} SELECT entity, outdeg FROM outdeg"
 
 
-def pagerank_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
-    """Unrolled K-step damped PageRank with dangling redistribution —
-    byte-for-byte the math of operators.pagerank (and of the numpy oracle)."""
+def pagerank_unroll_steps(k: int, dialect: str = "duckdb") -> str:
+    """The K-step damped-PageRank CTE chain over tables named
+    ``vertices`` / ``edges`` / ``outdeg`` — shared by the transcript-graph
+    twin below and the token-graph (TextRank) twin in oracle_sql_docs.
+    Final ranks live in CTE ``r{k}``."""
     d = DAMPING
     m = _mat(dialect)
     steps = []
@@ -127,7 +129,13 @@ r{i} AS {m}(
                   + coalesce(c.contrib, 0)) AS pr
   FROM vertices v LEFT JOIN contrib{i} c ON v.entity = c.entity
 )""")
-    body = ",\n".join(steps)
+    return ",\n".join(steps)
+
+
+def pagerank_query_sql(k: int = 5, dialect: str = "duckdb", round_to: int = 8) -> str:
+    """Unrolled K-step damped PageRank with dangling redistribution —
+    byte-for-byte the math of operators.pagerank (and of the numpy oracle)."""
+    body = pagerank_unroll_steps(k, dialect)
     return (
         f"WITH {graph_ctes(dialect)},\n{body}\n"
         f"SELECT entity, round(pr, {round_to}) AS pr FROM r{k}"

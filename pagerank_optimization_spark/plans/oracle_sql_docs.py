@@ -1621,3 +1621,83 @@ FROM fp x JOIN fp y ON x.h = y.h AND x.id < y.id
 GROUP BY x.id, y.id
 HAVING count(*) >= {min_shared}
 """
+
+
+def docs_zipf_fit_sql(top_n: int = 1000, skip_ranks: int = 0, round_to: int = 6) -> str:
+    """slope, intercept, tokens_fit — twin of operators.vocab.zipf_fit:
+    the same deterministic top-N cut as docs_vocab_topk_sql, then the
+    closed-form OLS sums over ln(rank)/ln(cf)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS token FROM documents
+),
+vs AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cf
+  FROM toks GROUP BY token
+),
+top AS (
+  SELECT cf,
+         CAST(row_number() OVER (ORDER BY cf DESC, token ASC) AS INT) AS rank
+  FROM vs ORDER BY cf DESC, token ASC LIMIT {top_n}
+),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cf AS DOUBLE)) AS y
+  FROM top WHERE rank > {skip_ranks}
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), {round_to}) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, {round_to}) AS intercept,
+       n AS tokens_fit
+FROM s
+"""
+
+
+def docs_textrank_sql(
+    window: int = 2, min_count: int = 3, k0: int = 10, round_to: int = 8
+) -> str:
+    """token, pr — twin of operators.textrank.textrank_keywords: the PMI
+    twin's window-event CTEs build the symmetric token graph (directed
+    pairs both ways, count >= min_count, a <> b, deduped to 0/1 edges),
+    then the SHARED PageRank unroll (oracle_sql.pagerank_unroll_steps —
+    the same CTE chain the transcript-graph twin runs) iterates k0 steps
+    over CTEs named vertices/edges/outdeg."""
+    from pagerank_optimization_spark.plans.oracle_sql import pagerank_unroll_steps
+
+    terms = "\n  UNION ALL\n".join(
+        f"""  SELECT u.p.x AS x, u.p.y AS y
+  FROM cs, unnest(list_transform(range(1, len(c) + 1 - {j}),
+       i -> struct_pack(x := c[i], y := c[i + {j}]))) AS u(p)"""
+        for j in range(1, window + 1)
+    )
+    return rf"""
+WITH cs AS MATERIALIZED (
+  SELECT {TOKS} AS c FROM documents
+),
+ev AS MATERIALIZED (
+{terms}
+),
+dir AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM ev
+  UNION ALL
+  SELECT y AS a, x AS b FROM ev
+),
+nd AS MATERIALIZED (
+  SELECT a, b, count(*) AS pair_count FROM dir GROUP BY a, b
+),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM nd
+  WHERE a <> b AND pair_count >= {min_count}
+),
+vertices AS MATERIALIZED (
+  SELECT src AS entity FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS MATERIALIZED (
+  SELECT src AS entity, count(*) AS outdeg FROM edges GROUP BY src
+),
+{pagerank_unroll_steps(k0)}
+SELECT entity AS token, round(pr, {round_to}) AS pr FROM r{k0}
+"""

@@ -324,3 +324,39 @@ def test_bpe_encode_rejects_bad_merge_schema(spark):
     bad = spark.createDataFrame([(1,)], "rank int")
     with pytest.raises(ValueError):
         bpe_encode(docs, bad)
+
+
+# --- zipf_fit -----------------------------------------------------------
+
+
+def test_zipf_fit_matches_numpy_polyfit(docs):
+    """Slope/intercept must equal numpy.polyfit on the same (ln rank,
+    ln cf) points from the same deterministic top-N cut (1e-6 bar — the
+    operator rounds to 6dp)."""
+    import numpy as np
+
+    from pagerank_optimization_spark.operators.vocab import zipf_fit
+
+    rows = docs.select("doc_id", "text").collect()
+    cf = Counter()
+    for r in rows:
+        cf.update(t for t in re.split(r"\s+", r.text.lower()) if t)
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    skip = 3
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))[skip:]
+    y = np.log(np.array([c for _, c in top], dtype=np.float64))[skip:]
+    slope, intercept = np.polyfit(x, y, 1)
+
+    got = zipf_fit(docs, top_n=200, skip_ranks=skip).collect()[0]
+    assert got.tokens_fit == len(top) - skip
+    assert abs(got.slope - slope) < 1.0e-6
+    assert abs(got.intercept - intercept) < 1.0e-6
+
+
+def test_zipf_fit_is_negative_on_natural_corpus(docs):
+    """Sanity: the synthesized corpus is Zipf-sampled, so the fitted
+    slope must be clearly negative (else the query is vacuous)."""
+    from pagerank_optimization_spark.operators.vocab import zipf_fit
+
+    got = zipf_fit(docs, top_n=400, skip_ranks=5).collect()[0]
+    assert got.slope < -0.3
