@@ -771,6 +771,20 @@ def _q_hits_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_katz_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (attenuated path counting, Katz 1953): 5 gather
+    rounds of x_i = β + α·Aᵀx_{i-1} from x₀ = β·1, L1-normalized once at
+    the end — the loop has ZERO driver round-trips (the normalization
+    rides the plan as a broadcast one-row aggregate; unrolled twin
+    plans.oracle_sql.katz_query_sql)."""
+    from pagerank_optimization_spark.operators.katz import katz
+
+    vertices, edges = _graph(spark, sf_dir)
+    return katz(vertices, edges, k=5, alpha=0.05).select(
+        "entity", F.round("katz", 8).alias("katz")
+    )
+
+
 def _q_salsa_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA (Lempel & Moran) — degree-normalized HITS, 5 iterations,
     L1-normalized per half-step: forward votes split 1/outdeg, backward
@@ -1028,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_decay_k5": _q_pagerank_decay_k5,
         "graph_hits_k5": _q_hits_k5,
         "graph_salsa_k5": _q_salsa_k5,
+        "graph_katz_k5": _q_katz_k5,
         "graph_betweenness_s24": _q_betweenness_s24_d4,
         "graph_cc_r16": _q_cc_r16,
         "graph_scc": _q_scc,
@@ -1122,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits_k5": osql.hits_query_sql(k=5),
         "graph_salsa_k5": osql.salsa_query_sql(k=5),
+        "graph_katz_k5": osql.katz_query_sql(k=5, alpha=0.05),
         "graph_betweenness_s24": osql.betweenness_query_sql(n_sources=24, max_depth=4),
         "graph_cc_r16": osql.cc_query_sql(rounds=16),
         "graph_scc": osql.scc_query_sql(),

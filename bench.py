@@ -210,6 +210,14 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.katz import katz
+
+    timed_min(
+        "graph_katz_k5",
+        lambda: katz(vertices, edges, k=5, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.betweenness import betweenness
 
     timed_min(

@@ -624,6 +624,38 @@ h{i} AS {m}(
     )
 
 
+def katz_query_sql(
+    k: int = 5,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    dialect: str = "duckdb",
+    round_to: int = 8,
+) -> str:
+    """Unrolled K-round truncated Katz series with a single final L1
+    normalization — mirrors operators.katz.katz() term for term:
+    x_i(v) = β + α·Σ_{u→v} x_{i-1}(u) from x₀ = β·1."""
+    m = _mat(dialect)
+    steps = [f"x0 AS {m}(SELECT entity, {beta!r} AS katz FROM vertices)"]
+    for i in range(1, k + 1):
+        p = i - 1
+        steps.append(f"""
+kc{i} AS {m}(
+  SELECT e.dst AS entity, sum(x.katz) AS contrib
+  FROM edges e JOIN x{p} x ON e.src = x.entity
+  GROUP BY e.dst
+),
+x{i} AS {m}(
+  SELECT v.entity, {beta!r} + {alpha!r} * coalesce(c.contrib, 0) AS katz
+  FROM vertices v LEFT JOIN kc{i} c ON v.entity = c.entity
+)""")
+    body = ",\n".join(steps)
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n"
+        f"SELECT entity, round(katz / (SELECT sum(katz) FROM x{k}), {round_to}) AS katz\n"
+        f"FROM x{k}"
+    )
+
+
 def betweenness_query_sql(
     n_sources: int = 24, max_depth: int = 4, dialect: str = "duckdb", round_to: int = 8
 ) -> str:

@@ -227,6 +227,27 @@ def pagerank_weighted_dense(
     return {v: float(x[idx[v]]) for v in vertices}
 
 
+def katz_dense(
+    vertices: list[str],
+    edges: set[tuple[str, str]],
+    k: int = 5,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+) -> dict[str, float]:
+    """K-round truncated Katz series x_i = β + α·Aᵀx_{i-1}, x₀ = β·1,
+    L1-normalized once at the end — the twin of operators.katz.katz()."""
+    n = len(vertices)
+    idx = {v: i for i, v in enumerate(vertices)}
+    A = np.zeros((n, n), dtype=np.float64)  # A[src, dst] = 1 per edge
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    x = np.full(n, beta, dtype=np.float64)
+    for _ in range(k):
+        x = beta + alpha * (A.T @ x)
+    x = x / x.sum()
+    return {v: float(x[idx[v]]) for v in vertices}
+
+
 def hits_dense(
     vertices: list[str], edges: set[tuple[str, str]], k: int = 5
 ) -> dict[str, tuple[float, float]]:
