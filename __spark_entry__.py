@@ -573,6 +573,19 @@ def _q_docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(docs, exact=True)
 
 
+def _q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence vs the corpus token mix — the
+    data-mixing outlier screen (template floods / non-English / synthetic
+    sources spike before training); absent-token mass folds to the closed
+    form 0.5·ln2·(1−Σq), so the plan never enumerates missing tokens
+    (operators.quality.source_divergence; twin
+    plans.oracle_sql_docs.docs_source_jsd_sql)."""
+    from pagerank_optimization_spark.operators.quality import source_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_divergence(docs)
+
+
 def _q_docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed (±2) token co-occurrence PMI — the count-based
     word-association matrix (PPMI ≈ factorized skip-gram, Levy &
@@ -1099,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hashed_tfidf": _q_docs_hashed_tfidf,
         "docs_pmi_pairs": _q_docs_pmi_pairs,
         "docs_corpus_profile": _q_docs_corpus_profile,
+        "docs_source_jsd": _q_docs_source_jsd,
         "docs_mix_weights": _q_docs_mix_weights,
         "docs_chunks": _q_docs_chunks,
         "docs_lm_score": _q_docs_lm_score,
@@ -1218,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hashed_tfidf": osql_docs.docs_hashed_tfidf_sql(32),
         "docs_pmi_pairs": osql_docs.docs_pmi_pairs_sql(window=2, min_count=5),
         "docs_corpus_profile": osql_docs.docs_corpus_profile_sql(),
+        "docs_source_jsd": osql_docs.docs_source_jsd_sql(),
         "docs_mix_weights": osql_docs.docs_mix_weights_sql(
             alpha=0.7, token_budget=1_000_000
         ),

@@ -539,6 +539,14 @@ def main() -> None:
         )
         pipe["profile_docs_per_sec"] = round(n_docs / queries["pipe_corpus_profile"])
 
+        from pagerank_optimization_spark.operators.quality import source_divergence
+
+        timed_min(
+            "pipe_source_jsd",
+            lambda: source_divergence(docs).count(),
+            n=oneshot_trials,
+        )
+
         from pagerank_optimization_spark.operators.sampling import chunk_documents
 
         timed_min(

@@ -29,6 +29,8 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -321,6 +323,58 @@ def corpus_profile(
             F.round(F.col("pct")[1].cast("double"), round_to).alias("p90_tok"),
             F.round(F.col("pct")[2].cast("double"), round_to).alias("p99_tok"),
         )
+    )
+
+
+def source_divergence(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 8,
+) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between the source's unigram
+    token distribution P_s and the corpus-wide mix Q — the data-mixing
+    outlier screen (Lin 1991): a template-flooded, non-English, or
+    machine-generated source shows up as a JSD spike before any model
+    ever trains on it. → (source, n_tokens, jsd), jsd in nats ∈ [0, ln 2]
+    (0 = indistinguishable from the corpus mix; ln 2 = disjoint support).
+
+    The absent-token mass needs no enumeration: tokens missing from a
+    source have p = 0, m = q/2, so their summed contribution collapses to
+    the closed form 0.5·ln2·(1 − Σ_{t∈s} q) — the whole statistic is
+    computable from the source's OWN (source, token) rows.
+
+    Scale shape: one groupBy(source, token) with map-side combine absorbs
+    the corpus (the vocab_topk argument); the token-marginal join runs
+    over the |sources|×|vocab| count table, never the corpus; the
+    per-source totals broadcast; the grand total rides the plan as a
+    broadcast one-row aggregate (zero collects)."""
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tt = st.groupBy("token").agg(F.sum("cnt").alias("tcnt"))
+    stot = st.groupBy("source").agg(F.sum("cnt").alias("scnt"))
+    ctot = stot.agg(F.sum("scnt").alias("ctot"))
+    p = F.col("cnt") / F.col("scnt")
+    q = F.col("tcnt") / F.col("ctot")
+    # present-token JSD term: 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    term = F.lit(0.5) * (
+        p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    ln2 = float(math.log(2.0))
+    return (
+        st.join(tt, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.max("scnt").alias("n_tokens"),
+            (F.sum(term) + F.lit(0.5 * ln2) * (F.lit(1.0) - F.sum(q))).alias("raw"),
+        )
+        .select("source", "n_tokens", F.round("raw", round_to).alias("jsd"))
     )
 
 

@@ -1701,3 +1701,36 @@ outdeg AS MATERIALIZED (
 {pagerank_unroll_steps(k0)}
 SELECT entity AS token, round(pr, {round_to}) AS pr FROM r{k0}
 """
+
+
+def docs_source_jsd_sql(round_to: int = 8) -> str:
+    """source, n_tokens, jsd — twin of operators.quality.source_divergence:
+    per-source Jensen–Shannon divergence vs the corpus mix, with the
+    absent-token mass folded into the closed form 0.5·ln2·(1 − Σ q)."""
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS token FROM documents
+),
+st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY source, token
+),
+tt AS (SELECT token, sum(cnt) AS tcnt FROM st GROUP BY token),
+stot AS (SELECT source, sum(cnt) AS scnt FROM st GROUP BY source),
+ct AS (SELECT sum(cnt) AS ctot FROM st),
+terms AS (
+  SELECT s.source,
+         so.scnt,
+         (CAST(s.cnt AS DOUBLE) / so.scnt) AS p,
+         (CAST(t.tcnt AS DOUBLE) / (SELECT ctot FROM ct)) AS q
+  FROM st s
+  JOIN tt t ON s.token = t.token
+  JOIN stot so ON s.source = so.source
+)
+SELECT source,
+       CAST(max(scnt) AS BIGINT) AS n_tokens,
+       round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
+             + 0.5 * ln(2) * (1 - sum(q)), {round_to}) AS jsd
+FROM terms
+GROUP BY source
+"""
