@@ -408,6 +408,28 @@ def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(transcripts_from_events(_events(spark, sf_dir)))
 
 
+def _q_tool_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most frequent 3-step tool-call chains within a conversation
+    — the higher-order completion of the transition matrix (multi-step
+    loops one-step probabilities hide); bounded conv window +
+    ≤ n_tools³-key agg + TakeOrdered cut
+    (operators.sessions.tool_paths)."""
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    return tool_paths(transcripts_from_events(_events(spark, sf_dir)), length=3, top_n=50)
+
+
+def _q_entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising/falling-entity screen: per-entity turn counts in the early
+    vs late half of the corpus time range + smoothed log odds — one
+    broadcast [min,max]-epoch aggregate, one map-side-combinable
+    groupBy(entity), NTZ-safe epochs
+    (operators.sessions.entity_trend)."""
+    from pagerank_optimization_spark.operators.sessions import entity_trend
+
+    return entity_trend(transcripts_from_events(_events(spark, sf_dir)))
+
+
 def _q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) pair counts over the length-4 walk
     corpus, symmetric window ±2 — the DeepWalk graph→embedding bridge
@@ -1076,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": _q_degree_histogram,
         "graph_knn_curve": _q_knn_curve,
         "transcripts_tool_transitions": _q_tool_transitions,
+        "transcripts_tool_paths": _q_tool_paths,
+        "transcripts_entity_trend": _q_entity_trend,
         "graph_rank_corr": _q_rank_corr,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
@@ -1170,6 +1194,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_hist": osql.degree_histogram_query_sql("out"),
         "graph_knn_curve": osql.knn_curve_query_sql(),
         "transcripts_tool_transitions": osql.tool_transitions_query_sql(),
+        "transcripts_tool_paths": osql.tool_paths_query_sql(length=3, top_n=50),
+        "transcripts_entity_trend": osql.entity_trend_query_sql(),
         "graph_rank_corr": osql.rank_corr_query_sql(k=5, halflife_s=259200.0),
         "transcripts_conv_stats": (
             "WITH transcripts AS ("

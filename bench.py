@@ -238,6 +238,22 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    timed_min(
+        "transcripts_tool_paths",
+        lambda: tool_paths(transcripts_from_events(events), length=3, top_n=50).count(),
+        n=oneshot_trials,
+    )
+
+    from pagerank_optimization_spark.operators.sessions import entity_trend
+
+    timed_min(
+        "transcripts_entity_trend",
+        lambda: entity_trend(transcripts_from_events(events)).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import (
         neighbor_jaccard_pairs,
     )

@@ -268,3 +268,138 @@ FROM (
   GROUP BY 1, 2
 ) p
 """
+
+
+def tool_paths(
+    transcripts: DataFrame,
+    *,
+    length: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """→ (path, n_paths): the ``top_n`` most frequent length-``length``
+    chains of CONSECUTIVE tool invocations within a conversation,
+    rendered as "a>b>c" — the higher-order completion of the first-order
+    ``tool_transitions`` kernel (what a tool-routing policy audits when
+    one-step probabilities hide multi-step loops, e.g. retry cycles).
+
+    Consecutive means adjacent in the conversation's tool-call SEQUENCE
+    (intervening non-tool turns don't break a chain) — the same
+    call-sequence model tool_transitions uses, extended to order
+    ``length``. Ties order deterministically by (n_paths DESC, path ASC).
+
+    Scale shape: one window by conv_id (conversations are turn-capped, so
+    per-partition state is bounded), a map-side-combinable groupBy whose
+    key space is ≤ n_tools^length, and a TakeOrdered top-N — never a
+    global sort."""
+    if length < 2:
+        raise ValueError(f"tool_paths: length must be ≥ 2, got {length}")
+    if top_n < 1:
+        raise ValueError(f"tool_paths: top_n must be ≥ 1, got {top_n}")
+    calls = transcripts.filter(
+        (F.col("role") == "assistant") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    steps = [F.col("tool")] + [F.lead("tool", j).over(w) for j in range(1, length)]
+    seq = calls.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("_last"))
+    return (
+        seq.filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top_n)
+    )
+
+
+def tool_paths_sql(length: int = 3, top_n: int = 50) -> str:
+    """DuckDB twin of tool_paths (caller supplies the transcripts CTE):
+    identical lead-window chain, count, and deterministic top-N cut."""
+    leads = ", ".join(
+        f"lead(tool, {j}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t{j}"
+        for j in range(1, length)
+    )
+    parts = " || '>' || ".join(["tool"] + [f"t{j}" for j in range(1, length)])
+    return f"""
+SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+FROM (
+  SELECT {parts} AS path, t{length - 1} AS _last
+  FROM (
+    SELECT conv_id, turn_idx, tool, {leads}
+    FROM transcripts WHERE role = 'assistant' AND tool IS NOT NULL
+  ) s
+) p
+WHERE _last IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path ASC
+LIMIT {top_n}
+"""
+
+
+def entity_trend(
+    transcripts: DataFrame,
+    *,
+    smoothing: float = 1.0,
+    round_to: int = 8,
+) -> DataFrame:
+    """→ (entity, n_early, n_late, log_ratio): per-entity turn counts in
+    the EARLY vs LATE half of the corpus time range (midpoint of
+    [min ts, max ts]; the tie row at the exact midpoint counts early on
+    both engines — strict >), with the add-``smoothing`` log odds
+    log((n_late + s)/(n_early + s)) — the rising/falling-entity screen
+    ("who matters LATELY" as a trend statistic rather than a decayed
+    rank; complements graph_build's edge_weights="decay").
+
+    Entities are the graph's own turn entities (conv/agent/tool —
+    functions.entities.turn_entity_expr), so a trend row joins 1:1
+    against any rank vector this engine produces.
+
+    Scale shape: one pass for the global [min, max] epoch (a broadcast
+    one-row aggregate riding the plan — zero collects), then ONE
+    map-side-combinable groupBy(entity); NTZ-safe epoch arithmetic
+    (driver-session-TZ-independent, same contract as sessionize)."""
+    if smoothing <= 0:
+        raise ValueError(f"entity_trend: smoothing must be > 0, got {smoothing}")
+    from ..functions.entities import turn_entity_expr
+
+    t = transcripts.select(
+        turn_entity_expr(F.col("role"), F.col("conv_id"), F.col("tool")).alias("entity"),
+        _epoch_s(F.col("ts")).alias("e"),
+    ).filter(F.col("entity").isNotNull())
+    span = t.agg(F.min("e").alias("lo"), F.max("e").alias("hi"))
+    late = (F.col("e") * 2 > F.col("lo") + F.col("hi")).cast("long")
+    counts = (
+        t.crossJoin(F.broadcast(span))
+        .select("entity", late.alias("late"))
+        .groupBy("entity")
+        .agg(
+            F.sum(F.lit(1) - F.col("late")).alias("n_early"),
+            F.sum("late").alias("n_late"),
+        )
+    )
+    s = float(smoothing)
+    return counts.select(
+        "entity",
+        "n_early",
+        "n_late",
+        F.round(
+            F.log((F.col("n_late") + F.lit(s)) / (F.col("n_early") + F.lit(s))),
+            round_to,
+        ).alias("log_ratio"),
+    )
+
+
+def entity_trend_sql(smoothing: float = 1.0, round_to: int = 8) -> str:
+    """DuckDB twin of entity_trend (caller supplies the transcripts CTE
+    and the entity expression via plans.oracle_sql)."""
+    # the entity expression is dialect-owned by plans.oracle_sql — this
+    # body expects a CTE named ``turns_ts`` with (entity, e) columns
+    return f"""
+SELECT entity, n_early, n_late,
+       round(ln((n_late + {smoothing!r}) / (n_early + {smoothing!r})), {round_to}) AS log_ratio
+FROM (
+  SELECT entity,
+         CAST(sum(CASE WHEN e * 2 > (SELECT lo + hi FROM span) THEN 0 ELSE 1 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN e * 2 > (SELECT lo + hi FROM span) THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM turns_ts
+  GROUP BY entity
+) c
+"""

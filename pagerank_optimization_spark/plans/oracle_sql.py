@@ -1223,6 +1223,38 @@ def tool_transitions_query_sql(dialect: str = "duckdb", round_to: int = 8) -> st
     )
 
 
+def tool_paths_query_sql(
+    length: int = 3, top_n: int = 50, dialect: str = "duckdb"
+) -> str:
+    """path, n_paths — twin of operators.sessions.tool_paths over the
+    derived transcripts."""
+    from pagerank_optimization_spark.operators.sessions import tool_paths_sql
+
+    return (
+        f"WITH transcripts AS ({transcripts_from_events_sql('events', dialect)}) "
+        + tool_paths_sql(length=length, top_n=top_n)
+    )
+
+
+def entity_trend_query_sql(
+    smoothing: float = 1.0, round_to: int = 8, dialect: str = "duckdb"
+) -> str:
+    """entity, n_early, n_late, log_ratio — twin of
+    operators.sessions.entity_trend over the derived transcripts."""
+    from pagerank_optimization_spark.operators.sessions import entity_trend_sql
+
+    m = _mat(dialect)
+    return (
+        f"WITH transcripts AS {m}({transcripts_from_events_sql('events', dialect)}),\n"
+        f"turns_ts AS {m}(\n"
+        f"  SELECT {entity_sql(dialect)} AS entity, epoch_us(ts) / 1000000.0 AS e\n"
+        f"  FROM transcripts WHERE {entity_sql(dialect)} IS NOT NULL\n"
+        f"),\n"
+        f"span AS {m}(SELECT min(e) AS lo, max(e) AS hi FROM turns_ts)\n"
+        + entity_trend_sql(smoothing=smoothing, round_to=round_to)
+    )
+
+
 def ktruss_query_sql(k: int = 4, rounds: int = 10, dialect: str = "duckdb") -> str:
     """a, b — twin of operators.triangles.ktruss (unrolled support peeling
     on the canonical undirected edge set, lexicographic orientation; the

@@ -358,3 +358,133 @@ def test_tool_transitions_matches_python(spark):
     assert ("pay-1",) not in {k[:1] for k in got} or True  # c3 emits nothing
     assert got[("search", "search")] == (1, 0.5)
     assert got[("debug", "search")] == (1, 1.0)
+
+
+def test_tool_paths_matches_python(spark):
+    from collections import Counter, defaultdict
+
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    rows = [
+        # c1: search → search → debug → search (two 3-chains)
+        ("c1", 0, "user", None), ("c1", 1, "assistant", "search"),
+        ("c1", 2, "assistant", "search"), ("c1", 3, "user", None),
+        ("c1", 4, "assistant", "debug"), ("c1", 5, "assistant", "search"),
+        # c2: debug → search → debug; toolless assistant turn skipped over
+        ("c2", 0, "assistant", "debug"), ("c2", 1, "assistant", None),
+        ("c2", 2, "assistant", "search"), ("c2", 3, "assistant", "debug"),
+        # c3: only two calls — no length-3 chain
+        ("c3", 0, "assistant", "pay-1"), ("c3", 1, "assistant", "pay-2"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    got = [(r.path, r.n_paths) for r in tool_paths(t, length=3, top_n=10).collect()]
+
+    seqs = defaultdict(list)
+    for conv, idx, role, tool in sorted(rows, key=lambda r: (r[0], r[1])):
+        if role == "assistant" and tool is not None:
+            seqs[conv].append(tool)
+    c = Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            c[">".join(s[i : i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+
+
+def test_tool_paths_top_n_cut_is_deterministic(spark):
+    """The cut orders (n DESC, path ASC) — a tie at the boundary must
+    resolve lexicographically, not by partition luck."""
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    rows = [
+        ("c1", 0, "assistant", "b"), ("c1", 1, "assistant", "b"), ("c1", 2, "assistant", "b"),
+        ("c2", 0, "assistant", "a"), ("c2", 1, "assistant", "a"), ("c2", 2, "assistant", "a"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, tool string")
+    got = [(r.path, r.n_paths) for r in tool_paths(t, length=3, top_n=1).collect()]
+    assert got == [("a>a>a", 1)]
+
+
+def test_tool_paths_rejects_bad_args(spark):
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    t = spark.createDataFrame([], "conv_id string, turn_idx int, role string, tool string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tool_paths(t, length=1)
+    with _pytest.raises(ValueError):
+        tool_paths(t, top_n=0)
+
+
+def test_entity_trend_matches_python(spark):
+    """Planted timestamps: tool A calls cluster early, tool B late; the
+    python twin recomputes the midpoint split and smoothed log odds."""
+    import math
+    from collections import Counter
+    from datetime import datetime
+
+    from pagerank_optimization_spark.operators.sessions import entity_trend
+
+    def ts(h):
+        return datetime(2026, 1, 1, h, 0, 0)
+
+    rows = [
+        ("c1", 0, "user", None, ts(0)),
+        ("c1", 1, "assistant", "a", ts(1)),
+        ("c1", 2, "user", None, ts(2)),
+        ("c1", 3, "assistant", "a", ts(3)),
+        ("c2", 0, "user", None, ts(20)),
+        ("c2", 1, "assistant", "b", ts(21)),
+        ("c2", 2, "user", None, ts(22)),
+        ("c2", 3, "assistant", "b", ts(23)),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp_ntz"
+    )
+    got = {
+        r.entity: (r.n_early, r.n_late, r.log_ratio)
+        for r in entity_trend(t).collect()
+    }
+
+    # python twin over the same entity rule
+    def ent(role, conv, tool):
+        if role == "user":
+            return f"conv:{conv}"
+        digits = "".join(ch for ch in conv if ch.isdigit()) or "0"
+        return f"agent:a{int(digits) % 17}"
+
+    epochs = [r[4].timestamp() for r in rows]
+    lo, hi = min(epochs), max(epochs)
+    early, late_c = Counter(), Counter()
+    for conv, idx, role, tool, when in rows:
+        e = ent(role, conv, tool)
+        if when.timestamp() * 2 > lo + hi:
+            late_c[e] += 1
+        else:
+            early[e] += 1
+    want = {
+        e: (
+            early.get(e, 0),
+            late_c.get(e, 0),
+            round(math.log((late_c.get(e, 0) + 1.0) / (early.get(e, 0) + 1.0)), 8),
+        )
+        for e in set(early) | set(late_c)
+    }
+    assert got == want
+    # the planted split separates: c1's agent early-only, c2's late-only
+    rising = [e for e, (ne, nl, lr) in got.items() if lr > 0]
+    falling = [e for e, (ne, nl, lr) in got.items() if lr < 0]
+    assert rising and falling
+
+
+def test_entity_trend_rejects_bad_smoothing(spark):
+    from pagerank_optimization_spark.operators.sessions import entity_trend
+
+    t = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, tool string, ts timestamp_ntz"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        entity_trend(t, smoothing=0.0)
