@@ -522,6 +522,19 @@ def _q_docs_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(docs, window=2, min_count=3, k0=10)
 
 
+def _q_docs_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law OLS fit of the vocabulary-growth curve (β ≈ 0.4-0.6 on
+    natural corpora — how fast the vocab keeps growing with corpus size):
+    global prefix sums via the two-level scan, V(n) from a first-
+    occurrence aggregate, regression as ONE closed-form aggregate
+    (operators.vocab.heaps_fit; twin
+    plans.oracle_sql_docs.docs_heaps_fit_sql)."""
+    from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_fit(docs, min_tokens=100)
+
+
 def _q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: top-40 adjacent char pairs
     weighted by word frequency — the corpus pass of Sennrich-style BPE,
@@ -1128,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_zipf_fit": _q_docs_zipf_fit,
+        "docs_heaps_fit": _q_docs_heaps_fit,
         "docs_textrank": _q_docs_textrank,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_merges": _q_docs_bpe_merges,
@@ -1250,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": osql_docs.docs_repetition_sql(ngram_n=2),
         "docs_vocab_topk": osql_docs.docs_vocab_topk_sql(50),
         "docs_zipf_fit": osql_docs.docs_zipf_fit_sql(top_n=400, skip_ranks=5),
+        "docs_heaps_fit": osql_docs.docs_heaps_fit_sql(min_tokens=100),
         "docs_textrank": osql_docs.docs_textrank_sql(window=2, min_count=3, k0=10),
         "docs_bpe_pairs": osql_docs.docs_bpe_pairs_sql(40),
         "docs_bpe_merges": osql_docs.docs_bpe_merges_sql(8),

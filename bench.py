@@ -546,6 +546,14 @@ def main() -> None:
             n=oneshot_trials,
         )
 
+        from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+        timed_min(
+            "pipe_heaps_fit",
+            lambda: heaps_fit(docs, min_tokens=100).count(),
+            n=oneshot_trials,
+        )
+
         from pagerank_optimization_spark.operators.quality import corpus_profile
 
         timed_min(

@@ -383,3 +383,107 @@ def zipf_fit(
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         F.col("n").alias("tokens_fit"),
     )
+
+
+def heaps_fit(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 100,
+    round_to: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """→ one row (slope, intercept, docs_fit): OLS fit of
+    ln V(n) = slope·ln n + intercept over the corpus's vocabulary-growth
+    curve — Heaps' law V(n) = K·n^β (β ≈ 0.4-0.6 on natural corpora;
+    Heaps 1978, and the empirical review in Piantadosi 2014). One point
+    per document in ``id_col`` order: n = cumulative token count, V =
+    cumulative distinct-token count. The tokenizer-planning companion to
+    ``zipf_fit``: β tells you how fast the vocab (and a BPE merge table's
+    long tail) keeps growing with corpus size; a template-flooded crawl
+    bends β down. ``min_tokens`` drops the tiny-prefix points (the curve
+    is not yet in its power-law regime below a few hundred tokens).
+
+    Scale shape: the curve needs a GLOBAL prefix sum — computed with the
+    repo's two-level scan (pack_documents/global_rank pattern:
+    range-partition by id, window-cumsum within partitions, collect the
+    ≤P partition totals, broadcast the exclusive prefix back — driver
+    traffic bounded by the partition count, never |corpus|). V(n) comes
+    for free from the SAME scan: a token's first occurrence is
+    min(doc_id) over an aggregated (token → first_doc) table, so
+    "new tokens in doc d" is one more groupBy — no distinct-over-prefix
+    anywhere. The OLS itself is one closed-form aggregate."""
+    if min_tokens < 0:
+        raise ValueError(f"heaps_fit: min_tokens must be ≥ 0, got {min_tokens}")
+    spark = documents.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    from ..functions.text import token_count_expr
+
+    per_doc = documents.select(
+        F.col(id_col).alias("doc_id"), token_count_expr(F.col(text_col)).alias("n_tok")
+    )
+    first = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_expr(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("new_tok"))
+    )
+    rows = per_doc.join(first, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce("new_tok", F.lit(0)).alias("new_tok")
+    )
+
+    parted = rows.repartitionByRange(partitions, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = W.partitionBy("_pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    # localCheckpoint: range boundaries are re-sampled per execution, so
+    # _pid must come from ONE materialization (pack_documents precedent)
+    local = parted.withColumn("_ln", F.sum("n_tok").over(w)).withColumn(
+        "_lv", F.sum("new_tok").over(w)
+    ).localCheckpoint(eager=True)
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_ln").alias("_tn"), F.max("_lv").alias("_tv"))
+        .collect()
+    )
+    totals.sort(key=lambda r: r._pid)
+    prefix, accn, accv = [], 0, 0
+    for row in totals:
+        prefix.append((row._pid, accn, accv))
+        accn += row._tn
+        accv += row._tv
+    pre = spark.createDataFrame(prefix, "_pid int, _pn long, _pv long")
+
+    pts = (
+        local.join(F.broadcast(pre), "_pid")
+        .select(
+            (F.col("_pn") + F.col("_ln")).alias("cum_tok"),
+            (F.col("_pv") + F.col("_lv")).alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tok") >= min_tokens) & (F.col("cum_vocab") > 0))
+        .select(
+            F.log(F.col("cum_tok").cast("double")).alias("x"),
+            F.log(F.col("cum_vocab").cast("double")).alias("y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.round(slope, round_to).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to).alias("intercept"),
+        F.col("n").alias("docs_fit"),
+    )

@@ -1734,3 +1734,43 @@ SELECT source,
 FROM terms
 GROUP BY source
 """
+
+
+def docs_heaps_fit_sql(min_tokens: int = 100, round_to: int = 6) -> str:
+    """slope, intercept, docs_fit — twin of operators.vocab.heaps_fit:
+    the vocabulary-growth curve (cumulative tokens vs cumulative distinct
+    tokens in doc_id order) and the closed-form OLS over its log-log
+    points above the min_tokens cut."""
+    return rf"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tok FROM documents
+),
+firsts AS (
+  SELECT token, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({TOKS}) AS token FROM documents) t
+  GROUP BY token
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_tok
+  FROM firsts GROUP BY first_doc
+),
+curve AS (
+  SELECT sum(p.n_tok) OVER w AS cum_tok,
+         sum(coalesce(n.new_tok, 0)) OVER w AS cum_vocab
+  FROM per_doc p LEFT JOIN new_per_doc n ON p.doc_id = n.doc_id
+  WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+),
+pts AS (
+  SELECT ln(CAST(cum_tok AS DOUBLE)) AS x, ln(CAST(cum_vocab AS DOUBLE)) AS y
+  FROM curve WHERE cum_tok >= {min_tokens} AND cum_vocab > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), {round_to}) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, {round_to}) AS intercept,
+       n AS docs_fit
+FROM s
+"""

@@ -360,3 +360,58 @@ def test_zipf_fit_is_negative_on_natural_corpus(docs):
 
     got = zipf_fit(docs, top_n=400, skip_ranks=5).collect()[0]
     assert got.slope < -0.3
+
+
+# --- heaps_fit ----------------------------------------------------------
+
+
+def test_heaps_fit_matches_numpy_polyfit(docs):
+    """Slope/intercept must equal numpy.polyfit over the python-rebuilt
+    vocabulary-growth curve (same doc_id order, same min_tokens cut)."""
+    import numpy as np
+
+    from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+    rows = sorted(docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id)
+    seen: set = set()
+    cum_tok, xs, ys = 0, [], []
+    min_tokens = 50
+    for r in rows:
+        toks = [t for t in re.split(r"\s+", r.text.lower()) if t]
+        cum_tok += len(toks)
+        seen.update(toks)
+        if cum_tok >= min_tokens and seen:
+            xs.append(np.log(cum_tok))
+            ys.append(np.log(len(seen)))
+    slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+
+    got = heaps_fit(docs, min_tokens=min_tokens).collect()[0]
+    assert got.docs_fit == len(xs)
+    assert abs(got.slope - round(slope, 6)) < 1.0e-6
+    assert abs(got.intercept - round(intercept, 6)) < 1.0e-6
+
+
+def test_heaps_fit_partition_invariance(docs):
+    """The two-level prefix scan must give identical results at any
+    partition count (the pack_documents contract)."""
+    from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+    a = heaps_fit(docs, min_tokens=50, partitions=2).collect()[0]
+    b = heaps_fit(docs, min_tokens=50, partitions=16).collect()[0]
+    assert a == b
+
+
+def test_heaps_fit_exponent_in_natural_range(docs):
+    """Sanity: the synthesized Zipf-sampled corpus must fit a sublinear
+    growth exponent 0 < β < 1 (else the curve or the scan is broken)."""
+    from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+    got = heaps_fit(docs, min_tokens=100).collect()[0]
+    assert 0.0 < got.slope < 1.0
+
+
+def test_heaps_fit_rejects_bad_args(docs):
+    from pagerank_optimization_spark.operators.vocab import heaps_fit
+
+    with pytest.raises(ValueError):
+        heaps_fit(docs, min_tokens=-1)
