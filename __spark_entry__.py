@@ -275,6 +275,19 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_pairs(edges, min_score=1.5, max_neighbor_freq=1000)
 
 
+def _q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance φ(C) = cut/min(vol, vol̄) of the 4-round
+    LPA labeling — the boundary-quality complement of modularity, over a
+    labeling with genuinely nonzero cuts (twin reuses the unrolled LPA
+    CTE chain; operators.community.conductance)."""
+    from pagerank_optimization_spark.operators.community import conductance
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+
+    vertices, edges = _graph(spark, sf_dir)
+    labels = label_propagation(vertices, edges, rounds=4)
+    return conductance(edges, labels)
+
+
 def _q_lpa_modularity_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (Newman–Leicht) modularity of the 4-round LPA labeling —
     the community-quality metric computed entirely as joins + aggregates
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_entity_trend": _q_entity_trend,
         "graph_rank_corr": _q_rank_corr,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
+        "graph_lpa_conductance_r4": _q_lpa_conductance,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
         "graph_harmonic_r3": _q_harmonic_r3,
@@ -1222,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_walks_l4": osql.walks_query_sql(length=4),
         "graph_lpa_modularity_r4": osql.lpa_modularity_query_sql(rounds=4),
+        "graph_lpa_conductance_r4": osql.lpa_conductance_query_sql(rounds=4),
         "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
             threshold=0.8, max_neighbor_freq=1000
         ),

@@ -178,6 +178,16 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.community import conductance
+
+    timed_min(
+        "graph_lpa_conductance_r4",
+        lambda: conductance(
+            edges, label_propagation(vertices, edges, rounds=4, partitions=cpus)
+        ).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.centrality import harmonic_centrality
 
     timed_min(

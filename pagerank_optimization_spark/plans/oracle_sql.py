@@ -840,6 +840,43 @@ SELECT nc.n_communities,
 FROM nc, within, tot, dd"""
 
 
+def lpa_conductance_query_sql(
+    rounds: int = 4, dialect: str = "duckdb", round_to: int = 8
+) -> str:
+    """label, n_members, cut_edges, volume, conductance — twin of
+    operators.community.conductance over the LPA labeling: reuses the
+    unrolled lpa CTE chain (the lpa_modularity pattern), then endpoint
+    explosion + per-label aggregates with the same 0-boundary CASE.
+    (LPA, unlike CC, yields labelings with genuinely nonzero boundaries
+    — φ exercises real cuts here, not just the plumbing.)"""
+    lpa = lpa_query_sql(rounds=rounds, dialect=dialect)
+    prefix = lpa.rsplit("SELECT entity, label FROM", 1)[0].rstrip().rstrip(",")
+    return f"""{prefix},
+lab AS (SELECT entity, label FROM l{rounds}),
+mem AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM lab GROUP BY label),
+el AS (
+  SELECT s.label AS sl, d.label AS dl
+  FROM edges e JOIN lab s ON e.src = s.entity JOIN lab d ON e.dst = d.entity
+),
+sides AS (
+  SELECT sl AS label, CASE WHEN sl <> dl THEN 1 ELSE 0 END AS cut FROM el
+  UNION ALL
+  SELECT dl AS label, CASE WHEN sl <> dl THEN 1 ELSE 0 END AS cut FROM el
+),
+per AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS volume, CAST(sum(cut) AS BIGINT) AS cut_edges
+  FROM sides GROUP BY label
+),
+te AS (SELECT CAST(count(*) AS BIGINT) AS two_e FROM sides)
+SELECT m.label, m.n_members,
+       coalesce(p.cut_edges, 0) AS cut_edges,
+       coalesce(p.volume, 0) AS volume,
+       CASE WHEN least(p.volume, te.two_e - p.volume) > 0
+            THEN round(p.cut_edges * 1.0 / least(p.volume, te.two_e - p.volume), {round_to})
+            ELSE 0.0 END AS conductance
+FROM mem m LEFT JOIN per p ON m.label = p.label CROSS JOIN te"""
+
+
 def neighbor_jaccard_query_sql(
     threshold: float = 0.5,
     max_neighbor_freq: int = 100,

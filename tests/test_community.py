@@ -76,3 +76,93 @@ def test_unlabeled_vertices_drop_from_edge_terms(spark):
     assert row.n_communities == 1
     # only a→b survives the label joins → one within-edge, m=1 → Q=0
     assert row.modularity == 0.0
+
+
+# --- conductance --------------------------------------------------------
+
+
+def _python_conductance(edges, labels):
+    lab = dict(labels)
+    vol, cut = {}, {}
+    for s, d in edges:
+        sl, dl = lab[s], lab[d]
+        vol[sl] = vol.get(sl, 0) + 1
+        vol[dl] = vol.get(dl, 0) + 1
+        if sl != dl:
+            cut[sl] = cut.get(sl, 0) + 1
+            cut[dl] = cut.get(dl, 0) + 1
+    two_e = 2 * len(edges)
+    mem = {}
+    for _, l in labels:
+        mem[l] = mem.get(l, 0) + 1
+    out = {}
+    for l, n in mem.items():
+        v = vol.get(l, 0)
+        denom = min(v, two_e - v)
+        phi = round(cut.get(l, 0) / denom, 8) if denom > 0 else 0.0
+        out[l] = (n, cut.get(l, 0), v, phi)
+    return out
+
+
+def test_conductance_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: each community has
+    vol = 7 (6 internal endpoints + 1 bridge endpoint), cut = 1,
+    φ = 1/7 exactly."""
+    from pagerank_optimization_spark.operators.community import conductance
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("a1", "b1"),
+    ]
+    labels = [(v, v[0]) for v in ["a1", "a2", "a3", "b1", "b2", "b3"]]
+    e, l = _mk(spark, edges, labels)
+    got = {r.label: (r.n_members, r.cut_edges, r.volume, r.conductance)
+           for r in conductance(e, l).collect()}
+    assert got == {"a": (3, 1, 7, round(1 / 7, 8)), "b": (3, 1, 7, round(1 / 7, 8))}
+
+
+def test_conductance_matches_python_on_lpa_labeling(spark):
+    """Full differential on a real labeling (4-round LPA over the
+    synthesized transcript graph) — the driver query's exact shape."""
+    from pagerank_optimization_spark.operators.community import conductance
+    from pagerank_optimization_spark.operators.graph_build import build_graph
+    from pagerank_optimization_spark.operators.lpa import label_propagation
+    from pagerank_optimization_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 150, seed=7)
+    vertices, edges = build_graph(t)
+    labels = label_propagation(vertices, edges, rounds=4)
+    e_rows = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    l_rows = [(r.entity, r.label) for r in labels.collect()]
+    want = _python_conductance(e_rows, l_rows)
+    got = {r.label: (r.n_members, r.cut_edges, r.volume, r.conductance)
+           for r in conductance(edges, labels).collect()}
+    assert got == want
+    assert any(phi > 0 for (_, _, _, phi) in got.values()), "no nonzero cut — vacuous"
+
+
+def test_conductance_single_community_is_zero(spark):
+    """The whole graph as one community: empty boundary → φ = 0 by the
+    documented convention (denominator 0 guarded)."""
+    from pagerank_optimization_spark.operators.community import conductance
+
+    edges = [("a", "b"), ("b", "c")]
+    labels = [("a", "x"), ("b", "x"), ("c", "x")]
+    e, l = _mk(spark, edges, labels)
+    rows = conductance(e, l).collect()
+    assert len(rows) == 1
+    assert rows[0].conductance == 0.0 and rows[0].volume == 4 and rows[0].cut_edges == 0
+
+
+def test_conductance_isolated_community_is_zero(spark):
+    """A label with no incident edges keeps its member count and reads
+    φ = 0 / volume 0 (left join + coalesce path)."""
+    from pagerank_optimization_spark.operators.community import conductance
+
+    edges = [("a", "b")]
+    labels = [("a", "x"), ("b", "x"), ("z", "lonely")]
+    e, l = _mk(spark, edges, labels)
+    got = {r.label: (r.n_members, r.cut_edges, r.volume, r.conductance)
+           for r in conductance(e, l).collect()}
+    assert got["lonely"] == (1, 0, 0, 0.0)
