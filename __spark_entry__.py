@@ -288,6 +288,18 @@ def _q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conductance(edges, labels)
 
 
+def _q_pagerank_delta_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal PageRank delta (authority drift): the SAME kernel run on
+    the early-half vs late-half transcript graphs (midpoint split,
+    entity_trend's tie rule), halves full-outer-joined, missing ranks
+    coalesced to 0 — rank movement attributable to structural change,
+    not decay weighting (operators.trend.pagerank_delta; twin runs the
+    shared unroll twice under e_/l_ CTE prefixes)."""
+    from pagerank_optimization_spark.operators.trend import pagerank_delta
+
+    return pagerank_delta(transcripts_from_events(_events(spark, sf_dir)), k0=5)
+
+
 def _q_lpa_modularity_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (Newman–Leicht) modularity of the 4-round LPA labeling —
     the community-quality metric computed entirely as joins + aggregates
@@ -1129,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rank_corr": _q_rank_corr,
         "graph_lpa_modularity_r4": _q_lpa_modularity_r4,
         "graph_lpa_conductance_r4": _q_lpa_conductance,
+        "graph_pagerank_delta_k5": _q_pagerank_delta_k5,
         "graph_neighbor_jaccard": _q_neighbor_jaccard,
         "graph_adamic_adar": _q_adamic_adar,
         "graph_harmonic_r3": _q_harmonic_r3,
@@ -1237,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_l4": osql.walks_query_sql(length=4),
         "graph_lpa_modularity_r4": osql.lpa_modularity_query_sql(rounds=4),
         "graph_lpa_conductance_r4": osql.lpa_conductance_query_sql(rounds=4),
+        "graph_pagerank_delta_k5": osql.pagerank_delta_query_sql(k=5),
         "graph_neighbor_jaccard": osql.neighbor_jaccard_query_sql(
             threshold=0.8, max_neighbor_freq=1000
         ),

@@ -264,6 +264,16 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.trend import pagerank_delta
+
+    timed_min(
+        "graph_pagerank_delta_k5",
+        lambda: pagerank_delta(
+            transcripts_from_events(events), k0=5, partitions=cpus
+        ).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.structure import (
         neighbor_jaccard_pairs,
     )

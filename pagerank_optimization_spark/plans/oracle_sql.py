@@ -30,53 +30,66 @@ def _mat(dialect: str) -> str:
     return "MATERIALIZED " if dialect == "duckdb" else ""
 
 
+def graph_derivation_ctes(
+    dialect: str = "duckdb", prefix: str = "", source: str = "transcripts"
+) -> str:
+    """The turns→edges→vertices→outdeg CTE chain derived from a
+    transcripts-shaped relation ``source``, every CTE name carrying
+    ``prefix`` — so two derivations (e.g. the early/late halves of the
+    temporal rank-delta twin) can coexist inside one WITH. Defaults
+    reproduce the historical unprefixed chain byte for byte."""
+    m = _mat(dialect)
+    x = prefix
+    return f"""{x}turns AS {m}(
+  SELECT conv_id, turn_idx, role, tool, {entity_sql(dialect)} AS entity
+  FROM {source}
+  WHERE {entity_sql(dialect)} IS NOT NULL
+),
+{x}reply_edges AS {m}(
+  SELECT entity AS src,
+         lag(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+  FROM {x}turns
+),
+{x}tool_edges AS {m}(
+  SELECT entity AS src, concat('tool:', tool) AS dst
+  FROM {x}turns WHERE role = 'assistant' AND tool IS NOT NULL
+),
+{x}followup_edges AS {m}(
+  SELECT next_entity AS src, concat('tool:', tool) AS dst
+  FROM (
+    SELECT role, tool,
+           lead(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_entity
+    FROM {x}turns
+  ) f
+  WHERE role = 'assistant' AND tool IS NOT NULL AND next_entity IS NOT NULL
+),
+{x}edges AS {m}(
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {x}reply_edges WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT src, dst FROM {x}tool_edges
+    UNION ALL
+    SELECT src, dst FROM {x}followup_edges
+  ) u
+),
+{x}vertices AS {m}(
+  SELECT DISTINCT entity FROM (
+    SELECT entity FROM {x}turns
+    UNION ALL SELECT src AS entity FROM {x}edges
+    UNION ALL SELECT dst AS entity FROM {x}edges
+  ) v
+),
+{x}outdeg AS {m}(
+  SELECT src AS entity, count(*) AS outdeg FROM {x}edges GROUP BY src
+)"""
+
+
 def graph_ctes(dialect: str = "duckdb") -> str:
     """The shared CTE chain: transcripts, turns, edges, vertices, outdeg."""
     m = _mat(dialect)
     return f"""
 transcripts AS {m}({transcripts_from_events_sql('events', dialect)}),
-turns AS {m}(
-  SELECT conv_id, turn_idx, role, tool, {entity_sql(dialect)} AS entity
-  FROM transcripts
-  WHERE {entity_sql(dialect)} IS NOT NULL
-),
-reply_edges AS {m}(
-  SELECT entity AS src,
-         lag(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
-  FROM turns
-),
-tool_edges AS {m}(
-  SELECT entity AS src, concat('tool:', tool) AS dst
-  FROM turns WHERE role = 'assistant' AND tool IS NOT NULL
-),
-followup_edges AS {m}(
-  SELECT next_entity AS src, concat('tool:', tool) AS dst
-  FROM (
-    SELECT role, tool,
-           lead(entity) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_entity
-    FROM turns
-  ) f
-  WHERE role = 'assistant' AND tool IS NOT NULL AND next_entity IS NOT NULL
-),
-edges AS {m}(
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM reply_edges WHERE dst IS NOT NULL
-    UNION ALL
-    SELECT src, dst FROM tool_edges
-    UNION ALL
-    SELECT src, dst FROM followup_edges
-  ) u
-),
-vertices AS {m}(
-  SELECT DISTINCT entity FROM (
-    SELECT entity FROM turns
-    UNION ALL SELECT src AS entity FROM edges
-    UNION ALL SELECT dst AS entity FROM edges
-  ) v
-),
-outdeg AS {m}(
-  SELECT src AS entity, count(*) AS outdeg FROM edges GROUP BY src
-)"""
+{graph_derivation_ctes(dialect)}"""
 
 
 def transcripts_query_sql(dialect: str = "duckdb") -> str:
@@ -97,37 +110,50 @@ def outdegree_query_sql(dialect: str = "duckdb") -> str:
     return f"WITH {graph_ctes(dialect)} SELECT entity, outdeg FROM outdeg"
 
 
-def pagerank_unroll_steps(k: int, dialect: str = "duckdb") -> str:
-    """The K-step damped-PageRank CTE chain over tables named
-    ``vertices`` / ``edges`` / ``outdeg`` — shared by the transcript-graph
-    twin below and the token-graph (TextRank) twin in oracle_sql_docs.
-    Final ranks live in CTE ``r{k}``."""
+def pagerank_unroll_steps(
+    k: int,
+    dialect: str = "duckdb",
+    prefix: str = "",
+    vertices: str = "vertices",
+    edges: str = "edges",
+    outdeg: str = "outdeg",
+) -> str:
+    """The K-step damped-PageRank CTE chain over the named vertex/edge/
+    outdeg tables — shared by the transcript-graph twin below, the
+    token-graph (TextRank) twin in oracle_sql_docs, and (with ``prefix``)
+    the two halves of the temporal rank-delta twin, whose CTE names must
+    not collide inside one WITH. Final ranks live in CTE
+    ``{prefix}r{k}``; defaults reproduce the historical byte-identical
+    chain."""
     d = DAMPING
     m = _mat(dialect)
+    x = prefix
     steps = []
-    steps.append(f"nv AS {m}(SELECT count(*) AS n FROM vertices)")
-    steps.append(f"r0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM nv) AS pr FROM vertices)")
+    steps.append(f"{x}nv AS {m}(SELECT count(*) AS n FROM {vertices})")
+    steps.append(
+        f"{x}r0 AS {m}(SELECT entity, 1.0 / (SELECT n FROM {x}nv) AS pr FROM {vertices})"
+    )
     for i in range(1, k + 1):
         p = i - 1
         steps.append(f"""
-dang{i} AS {m}(
+{x}dang{i} AS {m}(
   SELECT coalesce(sum(r.pr), 0) AS dm
-  FROM r{p} r LEFT JOIN outdeg o ON r.entity = o.entity
+  FROM {x}r{p} r LEFT JOIN {outdeg} o ON r.entity = o.entity
   WHERE o.entity IS NULL
 ),
-contrib{i} AS {m}(
+{x}contrib{i} AS {m}(
   SELECT e.dst AS entity, sum(r.pr / o.outdeg) AS contrib
-  FROM edges e
-  JOIN r{p} r ON e.src = r.entity
-  JOIN outdeg o ON e.src = o.entity
+  FROM {edges} e
+  JOIN {x}r{p} r ON e.src = r.entity
+  JOIN {outdeg} o ON e.src = o.entity
   GROUP BY e.dst
 ),
-r{i} AS {m}(
+{x}r{i} AS {m}(
   SELECT v.entity,
-         (1.0 - {d}) / (SELECT n FROM nv)
-         + {d} * ((SELECT dm FROM dang{i}) / (SELECT n FROM nv)
+         (1.0 - {d}) / (SELECT n FROM {x}nv)
+         + {d} * ((SELECT dm FROM {x}dang{i}) / (SELECT n FROM {x}nv)
                   + coalesce(c.contrib, 0)) AS pr
-  FROM vertices v LEFT JOIN contrib{i} c ON v.entity = c.entity
+  FROM {vertices} v LEFT JOIN {x}contrib{i} c ON v.entity = c.entity
 )""")
     return ",\n".join(steps)
 
@@ -1271,6 +1297,50 @@ def tool_paths_query_sql(
         f"WITH transcripts AS ({transcripts_from_events_sql('events', dialect)}) "
         + tool_paths_sql(length=length, top_n=top_n)
     )
+
+
+def pagerank_delta_query_sql(
+    k: int = 5, dialect: str = "duckdb", round_to: int = 8
+) -> str:
+    """entity, pr_early, pr_late, delta — twin of
+    operators.trend.pagerank_delta: the transcripts split at the midpoint
+    of the corpus time range (tie → early, strict >, same rule as
+    entity_trend), each half's graph derived INDEPENDENTLY (reply
+    adjacency within the filtered turn set), the SHARED PageRank unroll
+    run per half under distinct CTE prefixes, halves full-outer-joined
+    with missing ranks coalesced to 0."""
+    m = _mat(dialect)
+    halves = []
+    for x, cmp in (("e_", "<="), ("l_", ">")):
+        halves.append(
+            f"{x}tr AS {m}(\n"
+            f"  SELECT * FROM transcripts\n"
+            f"  WHERE epoch_us(ts) / 1000000.0 * 2 {cmp} (SELECT lo + hi FROM tspan)\n"
+            f"),\n"
+            + graph_derivation_ctes(dialect, prefix=x, source=f"{x}tr")
+            + ",\n"
+            + pagerank_unroll_steps(
+                k,
+                dialect,
+                prefix=x,
+                vertices=f"{x}vertices",
+                edges=f"{x}edges",
+                outdeg=f"{x}outdeg",
+            )
+        )
+    body = ",\n".join(halves)
+    return f"""
+WITH transcripts AS {m}({transcripts_from_events_sql('events', dialect)}),
+tspan AS {m}(
+  SELECT min(epoch_us(ts) / 1000000.0) AS lo, max(epoch_us(ts) / 1000000.0) AS hi
+  FROM transcripts
+),
+{body}
+SELECT coalesce(a.entity, b.entity) AS entity,
+       round(coalesce(a.pr, 0), {round_to}) AS pr_early,
+       round(coalesce(b.pr, 0), {round_to}) AS pr_late,
+       round(coalesce(b.pr, 0) - coalesce(a.pr, 0), {round_to}) AS delta
+FROM e_r{k} a FULL OUTER JOIN l_r{k} b ON a.entity = b.entity"""
 
 
 def entity_trend_query_sql(
