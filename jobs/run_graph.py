@@ -7,10 +7,12 @@ pagerank_optimization_spark.zip jobs/run_graph.py ...``).
 
 ``--algo``: cc (connected components, pointer-doubled fixpoint), lpa
 (label propagation, --rounds), triangles (global count), clustering
-(per-vertex coefficients), hits / salsa (--rounds = k iterations),
-betweenness (64 MD5 pivots, --rounds = depth bound). cc and lpa accept
---checkpoint for durable per-round labels + kill-resume (same commit
-protocol as PageRank).
+(per-vertex coefficients), hits / salsa / katz (--rounds = k iterations),
+betweenness (64 MD5 pivots, --rounds = depth bound), conductance
+(per-community φ over an LPA labeling, --rounds = LPA rounds), rankdelta
+(temporal PageRank delta between time halves, --rounds = k0). cc and lpa
+accept --checkpoint for durable per-round labels + kill-resume (same
+commit protocol as PageRank).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--algo", required=True,
         choices=["cc", "scc", "lpa", "triangles", "clustering", "hits", "salsa",
-                 "betweenness"],
+                 "katz", "betweenness", "conductance", "rankdelta"],
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -106,12 +108,38 @@ def main(argv=None) -> int:
             k=args.rounds if args.rounds is not None else 5,
             partitions=args.partitions,
         )
+    elif args.algo == "katz":
+        from pagerank_optimization_spark.operators.katz import katz
+
+        out = katz(
+            vertices, edges,
+            k=args.rounds if args.rounds is not None else 5,
+            partitions=args.partitions,
+        )
     elif args.algo == "betweenness":
         from pagerank_optimization_spark.operators.betweenness import betweenness
 
         out = betweenness(
             vertices, edges, n_sources=64,
             max_depth=args.rounds if args.rounds is not None else 4,
+            partitions=args.partitions,
+        )
+    elif args.algo == "conductance":
+        from pagerank_optimization_spark.operators.community import conductance
+        from pagerank_optimization_spark.operators.lpa import label_propagation
+
+        labels = label_propagation(
+            vertices, edges,
+            rounds=args.rounds if args.rounds is not None else 4,
+            partitions=args.partitions,
+        )
+        out = conductance(edges, labels)
+    elif args.algo == "rankdelta":
+        from pagerank_optimization_spark.operators.trend import pagerank_delta
+
+        out = pagerank_delta(
+            transcripts,
+            k0=args.rounds if args.rounds is not None else 5,
             partitions=args.partitions,
         )
     elif args.algo == "triangles":

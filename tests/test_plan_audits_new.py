@@ -157,3 +157,51 @@ def test_betweenness_forward_level_partial_agg(spark):
     plan = physical_plan(out)
     assert "Exchange SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tool_paths_uses_takeordered_and_partial_agg(spark):
+    from pagerank_optimization_spark.operators.sessions import tool_paths
+
+    t = spark.createDataFrame(
+        [("c1", 0, "assistant", "a"), ("c1", 1, "assistant", "b"),
+         ("c1", 2, "assistant", "c")],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    df = tool_paths(t, length=3, top_n=10)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, "top-N must never be a global sort"
+    assert_partial_aggregation(df)
+
+
+def test_source_divergence_partial_agg_and_broadcast_marginals(docs):
+    from pagerank_optimization_spark.operators.quality import source_divergence
+
+    df = source_divergence(docs)
+    plan = physical_plan(df)
+    assert_partial_aggregation(df)
+    assert "Broadcast" in plan, "per-source totals / grand total must broadcast"
+    assert "Python" not in plan, "JSD must stay JVM-side"
+
+
+def test_conductance_partial_agg_absorbs_hot_label(spark):
+    from pagerank_optimization_spark.operators.community import conductance
+
+    # JVM-side sources (spark.range) so the no-Python assertion sees only
+    # the operator's plan, not createDataFrame's applySchemaToPythonRDD
+    e = spark.range(8).selectExpr(
+        "cast(id as string) AS src", "cast(id + 1 as string) AS dst"
+    )
+    l = spark.range(9).selectExpr(
+        "cast(id as string) AS entity", "cast(id % 2 as string) AS label"
+    )
+    df = conductance(e, l)
+    assert_partial_aggregation(df)
+    assert "Python" not in physical_plan(df)
+
+
+def test_zipf_fit_rides_takeordered(docs):
+    from pagerank_optimization_spark.operators.vocab import zipf_fit
+
+    plan = physical_plan(zipf_fit(docs, top_n=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
