@@ -425,6 +425,17 @@ def _q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_curve(_q_edges(spark, sf_dir))
 
 
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve φ(k) over the simple undirected graph (Zhou &
+    Mondragón 2004) — do high-degree agents/tools interlink more densely
+    than the graph at large? Whole curve in one pass: degree agg +
+    min-endpoint-degree edge histogram + descending suffix-sum window
+    over ≤O(√|E|) rows (plans.oracle_sql.rich_club_query_sql)."""
+    from pagerank_optimization_spark.operators.structure import rich_club
+
+    return rich_club(_q_edges(spark, sf_dir))
+
+
 def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over in-conversation tool
     invocations — bounded conv_id window + n_tools²-key agg."""
@@ -1135,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "graph_degree_hist": _q_degree_histogram,
         "graph_knn_curve": _q_knn_curve,
+        "graph_rich_club": _q_rich_club,
         "transcripts_tool_transitions": _q_tool_transitions,
         "transcripts_tool_paths": _q_tool_paths,
         "transcripts_entity_trend": _q_entity_trend,
@@ -1234,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": osql.graph_stats_query_sql(),
         "graph_degree_hist": osql.degree_histogram_query_sql("out"),
         "graph_knn_curve": osql.knn_curve_query_sql(),
+        "graph_rich_club": osql.rich_club_query_sql(),
         "transcripts_tool_transitions": osql.tool_transitions_query_sql(),
         "transcripts_tool_paths": osql.tool_paths_query_sql(length=3, top_n=50),
         "transcripts_entity_trend": osql.entity_trend_query_sql(),

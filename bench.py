@@ -236,9 +236,10 @@ def main() -> None:
         n=oneshot_trials,
     )
 
-    from pagerank_optimization_spark.operators.structure import knn_curve
+    from pagerank_optimization_spark.operators.structure import knn_curve, rich_club
 
     timed_min("graph_knn_curve", lambda: knn_curve(edges).count(), n=oneshot_trials)
+    timed_min("graph_rich_club", lambda: rich_club(edges).count(), n=oneshot_trials)
 
     from pagerank_optimization_spark.operators.sessions import tool_transitions
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def neighbor_jaccard_pairs(
@@ -319,4 +320,71 @@ def knn_curve(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
             F.round(F.avg("annd"), round_to).alias("avg_neighbor_outdeg"),
             F.count("*").alias("n_vertices"),
         )
+    )
+
+
+def rich_club(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
+    """Rich-club connectivity curve φ(k) (Zhou & Mondragón 2004): over the
+    simple undirected graph (canonical a<b pairs, loops dropped), for every
+    observed degree value k,
+
+        φ(k) = 2·E_>k / (N_>k · (N_>k − 1))
+
+    where N_>k = vertices of undirected degree > k and E_>k = undirected
+    edges BOTH of whose endpoints have degree > k — i.e. the edge density
+    of the subgraph induced by the "rich" vertices. A rising tail means
+    hubs form a tightly interlinked core (the classic web/Internet rich
+    club); the transcript analog is whether high-traffic agents/tools talk
+    mostly to each other. → (k, n_rich, e_rich, phi); phi is NULL when
+    N_>k < 2 (undefined density).
+
+    Scale shape: an edge counts toward E_>k exactly for k < min(deg(a),
+    deg(b)), so the whole curve needs NO per-threshold scan — one degree
+    agg, one |V|-sized degree lookup joined onto the undirected edge list
+    (the PageRank-gather shuffle shape, AQE-broadcastable degree side),
+    two ≤|distinct degrees| histograms, and one descending suffix-sum
+    window over the joined histograms. Distinct undirected degrees are
+    bounded by O(√|E|) (1+2+…+D ≤ 2|E|), so the single-partition window
+    frame stays ≤ ~1.4M tiny rows even at 10^12 edges. min(deg a, deg b)
+    is itself some endpoint's degree, so the edge histogram's key domain
+    ⊆ the vertex histogram's and a left join loses nothing."""
+    from .triangles import undirected_edges
+
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    vhist = deg.groupBy(F.col("deg").alias("k")).agg(F.count("*").alias("nv"))
+    emin = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .groupBy(F.least("da", "db").alias("k"))
+        .agg(F.count("*").alias("ne"))
+    )
+    # suffix sums: rows strictly ABOVE the current k in the descending
+    # order are exactly the degrees > k
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = vhist.join(emin, "k", "left").select(
+        "k",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).cast("long").alias("n_rich"),
+        F.coalesce(F.sum(F.coalesce(F.col("ne"), F.lit(0))).over(w), F.lit(0))
+        .cast("long")
+        .alias("e_rich"),
+    )
+    return cum.select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - F.lit(1))),
+                round_to,
+            ),
+        ).alias("phi"),
     )

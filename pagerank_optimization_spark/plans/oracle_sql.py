@@ -1455,3 +1455,42 @@ k{k}a{i} AS {m}(
         "  ON v.entity = mc.entity\n"
         "UNION ALL\n" + sentinel_sql
     )
+
+
+def rich_club_query_sql(dialect: str = "duckdb", round_to: int = 8) -> str:
+    """k, n_rich, e_rich, phi — twin of operators.structure.rich_club:
+    undirected degree histogram + min-endpoint-degree edge histogram,
+    descending suffix sums (rows strictly above k = degrees > k), phi =
+    2·E/(N·(N−1)) with NULL below N=2. Exact integer counts feed one
+    float division, so round-to-8 compares hash-exact."""
+    m = _mat(dialect)
+    return f"""
+WITH {graph_ctes(dialect)},
+und AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS {m}(
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) n GROUP BY v
+),
+vhist AS (SELECT deg AS k, CAST(count(*) AS BIGINT) AS nv FROM deg GROUP BY deg),
+emin AS (
+  SELECT least(da.deg, db.deg) AS k, CAST(count(*) AS BIGINT) AS ne
+  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
+  GROUP BY 1
+),
+cum AS (
+  SELECT v.k,
+         CAST(coalesce(sum(v.nv) OVER w, 0) AS BIGINT) AS n_rich,
+         CAST(coalesce(sum(coalesce(e.ne, 0)) OVER w, 0) AS BIGINT) AS e_rich
+  FROM vhist v LEFT JOIN emin e ON v.k = e.k
+  WINDOW w AS (ORDER BY v.k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich >= 2
+            THEN round(2.0 * e_rich / (n_rich * (n_rich - 1)), {round_to})
+       END AS phi
+FROM cum
+"""

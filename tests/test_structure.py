@@ -488,3 +488,28 @@ def test_entity_trend_rejects_bad_smoothing(spark):
 
     with _pytest.raises(ValueError):
         entity_trend(t, smoothing=0.0)
+
+
+def test_rich_club_matches_hand_computed(spark):
+    """Three interlinked hubs + leaves: the hub tier (deg > 1) is a
+    3-clique, so φ(1) = 1.0; thresholds at/above the top tier have < 2
+    rich vertices and undefined (NULL) phi. Loops, duplicate, and
+    reversed-duplicate edges must collapse in the canonical undirected
+    view before any degree is counted."""
+    from pagerank_optimization_spark.operators.structure import rich_club
+
+    edges = [
+        ("h1", "h2"), ("h2", "h1"),      # reversed duplicate -> one edge
+        ("h2", "h3"), ("h1", "h3"),
+        ("h1", "l1"), ("h1", "l2"), ("h2", "l3"), ("l4", "h3"),
+        ("h1", "h1"),                      # self-loop dropped
+        ("h2", "h3"),                      # exact duplicate
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.k: (r.n_rich, r.e_rich, r.phi) for r in rich_club(df).collect()}
+    # undirected degrees: h1=4, h2=h3=3, leaves=1
+    assert got == {
+        4: (0, 0, None),
+        3: (1, 0, None),     # only h1 above; density of a 1-vertex graph undefined
+        1: (3, 3, 1.0),      # the hub tier is a perfect 3-clique
+    }
