@@ -10,9 +10,10 @@ pagerank_optimization_spark.zip jobs/run_graph.py ...``).
 (per-vertex coefficients), hits / salsa / katz (--rounds = k iterations),
 betweenness (64 MD5 pivots, --rounds = depth bound), conductance
 (per-community φ over an LPA labeling, --rounds = LPA rounds), rankdelta
-(temporal PageRank delta between time halves, --rounds = k0). cc and lpa
-accept --checkpoint for durable per-round labels + kill-resume (same
-commit protocol as PageRank).
+(temporal PageRank delta between time halves, --rounds = k0), richclub
+(rich-club curve φ(k) over the undirected graph). cc and lpa accept
+--checkpoint for durable per-round labels + kill-resume (same commit
+protocol as PageRank).
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--algo", required=True,
         choices=["cc", "scc", "lpa", "triangles", "clustering", "hits", "salsa",
-                 "katz", "betweenness", "conductance", "rankdelta"],
+                 "katz", "betweenness", "conductance", "rankdelta", "richclub"],
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -142,6 +143,10 @@ def main(argv=None) -> int:
             k0=args.rounds if args.rounds is not None else 5,
             partitions=args.partitions,
         )
+    elif args.algo == "richclub":
+        from pagerank_optimization_spark.operators.structure import rich_club
+
+        out = rich_club(edges)
     elif args.algo == "triangles":
         from pagerank_optimization_spark.operators.triangles import triangle_count
 
