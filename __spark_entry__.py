@@ -148,6 +148,15 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
+def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle (butterfly) count — the diagonal-codegree identity,
+    exact on the hub-filtered (deg ≤ 1000; no sf vertex exceeds it, so the
+    filter is a no-op here and the count is the full-graph exact value)."""
+    from pagerank_optimization_spark.operators.triangles import butterfly_count
+
+    return butterfly_count(_q_edges(spark, sf_dir), max_degree=1000)
+
+
 def _q_triangles_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production default path — degree orientation (O(sqrt(E)) wedge
     fan-out). The global count is orientation-invariant, so the same SQL
@@ -1132,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
         "graph_triangles": _q_triangles,
+        "graph_butterflies": _q_butterflies,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
@@ -1234,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": osql.scc_query_sql(),
         "graph_bowtie": osql.bowtie_query_sql(),
         "graph_triangles": osql.triangle_query_sql(),
+        "graph_butterflies": osql.butterfly_query_sql(max_degree=1000),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),

@@ -241,6 +241,14 @@ def main() -> None:
     timed_min("graph_knn_curve", lambda: knn_curve(edges).count(), n=oneshot_trials)
     timed_min("graph_rich_club", lambda: rich_club(edges).count(), n=oneshot_trials)
 
+    from pagerank_optimization_spark.operators.triangles import butterfly_count
+
+    timed_min(
+        "graph_butterflies",
+        lambda: butterfly_count(edges, max_degree=1000).collect(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.sessions import tool_transitions
 
     timed_min(

@@ -11,7 +11,8 @@ pagerank_optimization_spark.zip jobs/run_graph.py ...``).
 betweenness (64 MD5 pivots, --rounds = depth bound), conductance
 (per-community φ over an LPA labeling, --rounds = LPA rounds), rankdelta
 (temporal PageRank delta between time halves, --rounds = k0), richclub
-(rich-club curve φ(k) over the undirected graph). cc and lpa accept
+(rich-club curve φ(k) over the undirected graph), butterflies (global
+4-cycle count via the diagonal-codegree identity). cc and lpa accept
 --checkpoint for durable per-round labels + kill-resume (same commit
 protocol as PageRank).
 """
@@ -34,7 +35,8 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--algo", required=True,
         choices=["cc", "scc", "lpa", "triangles", "clustering", "hits", "salsa",
-                 "katz", "betweenness", "conductance", "rankdelta", "richclub"],
+                 "katz", "betweenness", "conductance", "rankdelta", "richclub",
+                 "butterflies"],
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -147,6 +149,10 @@ def main(argv=None) -> int:
         from pagerank_optimization_spark.operators.structure import rich_club
 
         out = rich_club(edges)
+    elif args.algo == "butterflies":
+        from pagerank_optimization_spark.operators.triangles import butterfly_count
+
+        out = butterfly_count(edges)
     elif args.algo == "triangles":
         from pagerank_optimization_spark.operators.triangles import triangle_count
 

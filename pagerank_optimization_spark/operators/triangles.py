@@ -223,3 +223,82 @@ def ktruss(
             if stable or n_cur == 0:
                 break
     return cur
+
+
+def butterfly_count(
+    edges: DataFrame,
+    *,
+    max_degree: int | None = 1000,
+    counters: dict | None = None,
+) -> DataFrame:
+    """Global 4-cycle ("butterfly") count over the simple undirected graph
+    — the cohesion motif one tier above triangles (ESCAPE, Pinar et al.
+    2017; butterfly counting, Wang et al. 2019). In a link graph a
+    butterfly u–a–w–b–u is two entities co-endorsed by the same two
+    neighbors (co-citation cohesion); triangle-free bipartite-ish regions
+    (user↔tool interactions) have NO triangles, so this is the motif that
+    measures their clustering.
+
+    Identity (no per-cycle enumeration): every 4-cycle is determined by an
+    unordered diagonal pair {u, w} plus 2 of their codeg(u,w) common
+    neighbors, and has exactly 2 diagonals, so
+
+        C4 = Σ_{u<w} C(codeg(u,w), 2) / 2  =  Σ m·(m−1) / 4.
+
+    One wedge pass (Σ_c C(deg c, 2) rows) + one pair agg — no 4-way join.
+
+    ``max_degree``: the wedge pass is quadratic in center degree, so
+    vertices of undirected degree > max_degree are excluded from the GRAPH
+    before counting (None = exact on the full graph). This is a graph
+    restriction, not a per-stage cap: the result is the EXACT butterfly
+    count of the hub-filtered subgraph, so the Σ/4 identity stays integral
+    and the DuckDB twin reproduces it verbatim. The framing matches the
+    boilerplate-shingle cap (dedup.py): a mega-hub's O(deg²) wedge fan-out
+    is the skew hazard, and at transcript scale the mega-hubs are the
+    global tool entities whose 4-cycles measure only their own ubiquity.
+
+    ``counters``: pass a dict to record hub_vertices_dropped /
+    hub_edges_dropped (two extra small agg jobs; bench-only).
+
+    → 1-row DataFrame(n_butterflies long, n_codeg2_pairs long) —
+    n_codeg2_pairs = unordered vertex pairs with ≥ 2 common neighbors
+    (the diagonal support set, a cohesion stat in its own right)."""
+    und = undirected_edges(edges)
+    if max_degree is not None:
+        # persist: deg derives from und (2 refs via the union) and kept
+        # re-reads und after the anti-joins — the rich_club lesson
+        und = und.persist()
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        hubs = deg.filter(F.col("deg") > max_degree).select("v").persist()
+        kept = und.join(
+            hubs.withColumnRenamed("v", "a"), "a", "left_anti"
+        ).join(hubs.withColumnRenamed("v", "b"), "b", "left_anti")
+        if counters is not None:
+            counters["hub_vertices_dropped"] = hubs.count()
+            counters["hub_edges_dropped"] = und.count() - kept.count()
+    else:
+        kept = und
+    kept = kept.persist()  # nbrs reads it twice (the union)
+    nbrs = kept.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+        kept.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    pairs = (
+        nbrs.select("c", F.col("n").alias("u"))
+        .join(nbrs.select("c", F.col("n").alias("w")), "c")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    return pairs.agg(
+        F.coalesce(
+            F.expr("sum(m * (m - 1)) div 4"), F.lit(0).cast("long")
+        ).alias("n_butterflies"),
+        F.coalesce(
+            F.sum(F.when(F.col("m") >= 2, 1).cast("long")), F.lit(0).cast("long")
+        ).alias("n_codeg2_pairs"),
+    )

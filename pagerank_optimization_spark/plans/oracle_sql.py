@@ -339,6 +339,41 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def butterfly_query_sql(max_degree: int = 1000, dialect: str = "duckdb") -> str:
+    """n_butterflies, n_codeg2_pairs — twin of
+    operators.triangles.butterfly_count: exact 4-cycle count of the
+    hub-filtered (undirected degree ≤ max_degree) subgraph via the
+    diagonal-codegree identity C4 = Σ m·(m−1) / 4."""
+    m = _mat(dialect)
+    return f"""WITH {graph_ctes(dialect)},
+und AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS {m}(
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+hubs AS {m}(SELECT v FROM deg WHERE deg > {max_degree}),
+kept AS {m}(
+  SELECT a, b FROM und
+  WHERE a NOT IN (SELECT v FROM hubs) AND b NOT IN (SELECT v FROM hubs)
+),
+nbrs AS {m}(
+  SELECT a AS c, b AS n FROM kept UNION ALL SELECT b AS c, a AS n FROM kept
+),
+pairs AS {m}(
+  SELECT l.n AS u, r.n AS w, CAST(count(*) AS BIGINT) AS m
+  FROM nbrs l JOIN nbrs r ON r.c = l.c AND l.n < r.n
+  GROUP BY l.n, r.n
+)
+SELECT
+  CAST(coalesce(sum(m * (m - 1)), 0) // 4 AS BIGINT) AS n_butterflies,
+  CAST(coalesce(sum(CASE WHEN m >= 2 THEN 1 END), 0) AS BIGINT) AS n_codeg2_pairs
+FROM pairs"""
+
+
 def kcore_query_sql(k: int = 3, rounds: int = 16, dialect: str = "duckdb") -> str:
     """Unrolled degree peeling on the symmetrized graph — mirrors
     operators.kcore.kcore (exact fixpoint). The Spark side iterates to
