@@ -148,6 +148,15 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_q_edges(spark, sf_dir), degree_oriented=False)
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set — deterministic portable-hash
+    priorities, so the unrolled twin replays every round verbatim."""
+    from pagerank_optimization_spark.operators.mis import maximal_independent_set
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return maximal_independent_set(vertices, wedges)
+
+
 def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 4-cycle (butterfly) count — the diagonal-codegree identity,
     exact on the hub-filtered (deg ≤ 1000; no sf vertex exceeds it, so the
@@ -1142,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bowtie": _q_bowtie,
         "graph_triangles": _q_triangles,
         "graph_butterflies": _q_butterflies,
+        "graph_mis": _q_mis,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
@@ -1245,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bowtie": osql.bowtie_query_sql(),
         "graph_triangles": osql.triangle_query_sql(),
         "graph_butterflies": osql.butterfly_query_sql(max_degree=1000),
+        "graph_mis": osql.mis_query_sql(rounds=12),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),

@@ -14,9 +14,13 @@ minhash, cosine ↔ LSH/IVF):
   along out-edges each round. Per-round shuffle volume is
   O(|E| · m) BYTES of packed int arrays (m = 2^p registers), constant in
   the reach being counted — the exact path's pair set is replaced by a
-  fixed-width sketch. Register merge is an element-wise max, so hub
-  fan-in is pre-collapsed per (vertex, salt) when ``merge_salt`` is set
-  (bounded fan-in, same defense shape as components.prepare_gather).
+  fixed-width sketch. Register merge is element-wise max expressed as
+  2^p plain ``max`` aggregates (``_merge_groupby``) — map-side
+  combinable, so hub fan-in collapses in the partial-agg hash table and
+  the exchange carries one row per touched vertex per task.
+  ``merge_salt`` additionally pre-merges per (vertex, salt) before the
+  final merge (same defense shape as components.prepare_gather); with
+  the combinable merge it is rarely needed and defaults off.
 
 The per-vertex estimate uses the standard HLL estimator with the
 small-range linear-counting correction. No UDFs anywhere: register
@@ -59,12 +63,32 @@ def _init_registers(entity: Column, p: int) -> Column:
 
 
 def _merge_expr(col: str) -> Column:
-    """Fold a collect_list of register arrays with element-wise max."""
+    """Fold a collect_list of register arrays with element-wise max.
+    Correct but collect_list REDUCES NOTHING map-side — every contributing
+    array crosses the shuffle. Kept for reference/tests; the operators use
+    ``_merge_groupby`` (per-register max aggregates) instead."""
     lst = F.collect_list(col)
     return F.aggregate(
         lst,
         F.element_at(lst, 1),
         lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+    )
+
+
+def _merge_groupby(df: DataFrame, group_cols: list[str], p: int) -> DataFrame:
+    """groupBy(*group_cols) element-wise register max as m = 2^p plain
+    ``max`` aggregates, reassembled into the array afterwards. Unlike the
+    collect_list fold, plain max is map-side combinable: each task reduces
+    to ONE row per group before the exchange, so per-round shuffle volume
+    is O(|V touched| · m) instead of O(|E| · m) and hub fan-in collapses
+    in the partial-agg hash table (measured at 1.1M vertices / 4M edges —
+    BENCH/reach_scale_probe_1100000.json and BENCH/AB_NOTES.md)."""
+    m = 1 << p
+    aggs = [
+        F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_r{i}") for i in range(m)
+    ]
+    return df.groupBy(*group_cols).agg(*aggs).select(
+        *group_cols, F.array(*[F.col(f"_r{i}") for i in range(m)]).alias("regs")
     )
 
 
@@ -156,16 +180,15 @@ def hyperball_reach(
         ).select(F.col("src").alias("v"), "regs")
         contrib = gathered.unionByName(state.select("v", "regs"))
         if merge_salt and merge_salt > 1:
-            contrib = (
+            contrib = _merge_groupby(
                 contrib.withColumn(
                     "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(merge_salt))
-                )
-                .groupBy("v", "_salt")
-                .agg(_merge_expr("regs").alias("regs"))
-            )
+                ),
+                ["v", "_salt"],
+                p,
+            ).drop("_salt")
         nxt = (
-            contrib.groupBy("v")
-            .agg(_merge_expr("regs").alias("regs"))
+            _merge_groupby(contrib, ["v"], p)
             .repartition(partitions, "v")
             .persist()
         )
@@ -218,16 +241,15 @@ def hyperball_curve(
         ).select(F.col("src").alias("v"), "regs")
         contrib = gathered.unionByName(state.select("v", "regs"))
         if merge_salt and merge_salt > 1:
-            contrib = (
+            contrib = _merge_groupby(
                 contrib.withColumn(
                     "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(merge_salt))
-                )
-                .groupBy("v", "_salt")
-                .agg(_merge_expr("regs").alias("regs"))
-            )
+                ),
+                ["v", "_salt"],
+                p,
+            ).drop("_salt")
         nxt = (
-            contrib.groupBy("v")
-            .agg(_merge_expr("regs").alias("regs"))
+            _merge_groupby(contrib, ["v"], p)
             .repartition(partitions, "v")
             .persist()
         )

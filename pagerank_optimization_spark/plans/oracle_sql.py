@@ -339,6 +339,68 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def mis_query_sql(rounds: int = 12, salt: str = "mis", dialect: str = "duckdb") -> str:
+    """entity, in_mis, round — twin of
+    operators.mis.maximal_independent_set: Luby rounds unrolled, priority
+    key = lpad(H48('{salt}:{t}:' || entity), 15, '0') || '|' || entity
+    (the Spark side's exact construction — plain varchar min/compare).
+    Convergence sentinel: a bogus row appears if round ``rounds`` still
+    left vertices undecided (the kcore sentinel pattern)."""
+    m = _mat(dialect)
+    steps = [
+        f"""s0 AS {m}(
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+)""",
+        f"u0 AS {m}(SELECT entity FROM vertices)",
+    ]
+    for t in range(rounds):
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('{salt}:{t}:', entity)), 1, 12))"
+            " AS BIGINT)"
+        )
+        steps.append(f"""
+p{t} AS {m}(
+  SELECT entity, lpad(CAST({h} AS VARCHAR), 15, '0') || '|' || entity AS k
+  FROM u{t}
+),
+nm{t} AS {m}(
+  SELECT s.a AS entity, min(p.k) AS nk
+  FROM s{t} s JOIN p{t} p ON s.b = p.entity
+  GROUP BY s.a
+),
+sel{t} AS {m}(
+  SELECT p.entity FROM p{t} p LEFT JOIN nm{t} n ON p.entity = n.entity
+  WHERE n.nk IS NULL OR p.k < n.nk
+),
+kn{t} AS {m}(
+  SELECT DISTINCT s.a AS entity FROM s{t} s JOIN sel{t} x ON s.b = x.entity
+  WHERE s.a NOT IN (SELECT entity FROM sel{t})
+),
+u{t + 1} AS {m}(
+  SELECT entity FROM u{t}
+  WHERE entity NOT IN (SELECT entity FROM sel{t})
+    AND entity NOT IN (SELECT entity FROM kn{t})
+),
+s{t + 1} AS {m}(
+  SELECT a, b FROM s{t}
+  WHERE a IN (SELECT entity FROM u{t + 1}) AND b IN (SELECT entity FROM u{t + 1})
+)""")
+    body = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT entity, true AS in_mis, {t} AS round FROM sel{t}\n"
+        f"UNION ALL\nSELECT entity, false AS in_mis, {t} AS round FROM kn{t}"
+        for t in range(rounds)
+    )
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n{union}\n"
+        "UNION ALL\n"
+        "SELECT '!mis-not-converged' AS entity, false AS in_mis, -1 AS round "
+        f"WHERE (SELECT count(*) FROM u{rounds}) > 0"
+    )
+
+
 def butterfly_query_sql(max_degree: int = 1000, dialect: str = "duckdb") -> str:
     """n_butterflies, n_codeg2_pairs — twin of
     operators.triangles.butterfly_count: exact 4-cycle count of the
