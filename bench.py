@@ -249,6 +249,14 @@ def main() -> None:
         n=oneshot_trials,
     )
 
+    from pagerank_optimization_spark.operators.mis import maximal_independent_set
+
+    timed_min(
+        "graph_mis",
+        lambda: maximal_independent_set(vertices, edges, partitions=cpus).count(),
+        n=oneshot_trials,
+    )
+
     from pagerank_optimization_spark.operators.sessions import tool_transitions
 
     timed_min(

@@ -12,7 +12,8 @@ betweenness (64 MD5 pivots, --rounds = depth bound), conductance
 (per-community φ over an LPA labeling, --rounds = LPA rounds), rankdelta
 (temporal PageRank delta between time halves, --rounds = k0), richclub
 (rich-club curve φ(k) over the undirected graph), butterflies (global
-4-cycle count via the diagonal-codegree identity). cc and lpa accept
+4-cycle count via the diagonal-codegree identity), mis (Luby maximal
+independent set, deterministic portable-hash priorities). cc and lpa accept
 --checkpoint for durable per-round labels + kill-resume (same commit
 protocol as PageRank).
 """
@@ -36,7 +37,7 @@ def main(argv=None) -> int:
         "--algo", required=True,
         choices=["cc", "scc", "lpa", "triangles", "clustering", "hits", "salsa",
                  "katz", "betweenness", "conductance", "rankdelta", "richclub",
-                 "butterflies"],
+                 "butterflies", "mis"],
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -153,6 +154,14 @@ def main(argv=None) -> int:
         from pagerank_optimization_spark.operators.triangles import butterfly_count
 
         out = butterfly_count(edges)
+    elif args.algo == "mis":
+        from pagerank_optimization_spark.operators.mis import maximal_independent_set
+
+        out = maximal_independent_set(
+            vertices, edges,
+            max_rounds=args.rounds if args.rounds is not None else 64,
+            partitions=args.partitions,
+        )
     elif args.algo == "triangles":
         from pagerank_optimization_spark.operators.triangles import triangle_count
 
