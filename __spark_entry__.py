@@ -520,6 +520,21 @@ def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, 0.1, "doc_id").select("doc_id", "lang")
 
 
+def _q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE weighted sample (Efraimidis-Spirakis A-ES): exactly 40
+    docs, probability ∝ length(text), deterministic portable-hash u —
+    the fixed-RATE complement is docs_quality_sample."""
+    from pagerank_optimization_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_reservoir_sample(
+        docs, 40, F.length("text"), "doc_id", salt="wrs"
+    ).select("doc_id", "es_key")
+
+
 def _q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language rebalancing sample: 50% en, 20% zh, 5% everything
     else — one codegen'd predicate, zero joins/shuffles."""
@@ -1195,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_quality": _q_docs_lang_quality,
         "docs_bm25_topk": _q_docs_bm25,
         "docs_hash_sample": _q_docs_hash_sample,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
@@ -1321,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_quality": osql_docs.docs_lang_quality_sql(),
         "docs_bm25_topk": osql_docs.docs_bm25_topk_sql(BM25_TERMS, top_n=25),
         "docs_hash_sample": osql_docs.docs_hash_sample_sql(0.1),
+        "docs_weighted_sample": osql_docs.docs_weighted_reservoir_sql(40, salt="wrs"),
         "docs_stratified_sample": osql_docs.docs_stratified_sample_sql(
             STRAT_RATES, default_rate=0.05
         ),

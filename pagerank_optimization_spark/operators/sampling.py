@@ -325,3 +325,42 @@ def chunk_documents(
         )
         .filter(F.col("n_tok") >= min_tokens)
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    n: int,
+    weight: Column,
+    key_col: str,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-SIZE weighted sample without replacement — the complement of
+    ``weighted_hash_sample`` (fixed RATE): exactly ``n`` rows, selection
+    probability ∝ weight, via the Efraimidis–Spirakis A-ES scheme (2006):
+    score each row k_i = u_i^(1/w_i) with u_i uniform in (0,1) and keep
+    the n largest. The n-largest-k sample is EXACTLY a weighted draw
+    without replacement, and the ordering is preserved under ln, so the
+    score used is ln(u)/w (monotone, no pow underflow for tiny weights).
+
+    u is deterministic — the full 48-bit MD5 bucket (not the 1e6-modulus
+    sampling bucket; A-ES ordering needs fine granularity), so the sample
+    is reproducible across runs/engines/partitionings and oracle-checkable
+    like every sampling operator here. Rows with weight ≤ 0 or NULL are
+    ineligible (A-ES requires w > 0). Ties broken by key.
+
+    Distributed shape: orderBy(...).limit(n) compiles to TakeOrdered —
+    per-partition top-n + a driver merge of P·n rows, never a global
+    sort. → df columns + es_key (the ln-domain score, rounded 8dp)."""
+    s = F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    h48 = F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    score = F.log(u) / weight.cast("double")
+    return (
+        df.where(weight.isNotNull() & (weight.cast("double") > 0))
+        .withColumn("_es", score)
+        .orderBy(F.col("_es").desc(), F.col(key_col))
+        .limit(n)
+        .withColumn("es_key", F.round(F.col("_es"), 8))
+        .drop("_es")
+    )

@@ -627,6 +627,24 @@ WHERE {_sample_bucket_sql('doc_id', salt)} < {thr}
 """
 
 
+def docs_weighted_reservoir_sql(n: int, *, salt: str = "wrs") -> str:
+    """doc_id, es_key — twin of operators.sampling.weighted_reservoir_sample
+    on documents with weight = length(text) (the A-ES ln-domain score:
+    ln((h48+1)/2^48) / w, top-n DESC with doc_id tie-break)."""
+    h48 = (
+        f"CAST(concat('0x', substring(md5(concat('{salt}', ':', "
+        "CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)"
+    )
+    score = f"ln(({h48} + 1) / 281474976710656.0) / length(text)"
+    return f"""
+SELECT doc_id, round({score}, 8) AS es_key
+FROM documents
+WHERE length(text) > 0
+ORDER BY {score} DESC, doc_id
+LIMIT {n}
+"""
+
+
 def docs_stratified_sample_sql(
     rates: dict, *, default_rate: float = 0.0, salt: str = ""
 ) -> str:
