@@ -520,6 +520,16 @@ def _q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, 0.1, "doc_id").select("doc_id", "lang")
 
 
+def _q_docs_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus token frequencies — FIXED depth x width
+    state whatever the vocabulary size (the bounded-state complement of
+    docs_vocab_topk); every cell reproduced by the DuckDB twin."""
+    from pagerank_optimization_spark.operators.vocab import token_countmin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_countmin(docs, depth=4, width=1024)
+
+
 def _q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-SIZE weighted sample (Efraimidis-Spirakis A-ES): exactly 40
     docs, probability ∝ length(text), deterministic portable-hash u —
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": _q_docs_bm25,
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_countmin": _q_docs_countmin,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
@@ -1338,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25_topk": osql_docs.docs_bm25_topk_sql(BM25_TERMS, top_n=25),
         "docs_hash_sample": osql_docs.docs_hash_sample_sql(0.1),
         "docs_weighted_sample": osql_docs.docs_weighted_reservoir_sql(40, salt="wrs"),
+        "docs_countmin": osql_docs.docs_countmin_sql(depth=4, width=1024),
         "docs_stratified_sample": osql_docs.docs_stratified_sample_sql(
             STRAT_RATES, default_rate=0.05
         ),

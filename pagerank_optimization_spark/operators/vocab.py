@@ -487,3 +487,95 @@ def heaps_fit(
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), round_to).alias("intercept"),
         F.col("n").alias("docs_fit"),
     )
+
+
+def token_countmin(
+    documents: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution
+    (Cormode & Muthukrishnan 2005) → (d int, col int, cnt long), ≤
+    depth·width rows. Row d hashes each token occurrence to
+    H48('{salt}:{d}:' || token) mod width and counts per cell;
+    ``countmin_lookup`` answers point queries with min over rows —
+    one-sided error (never an undercount), overcount ≤ e·N/width w.p.
+    1−e^−depth.
+
+    The 100 TB story vs ``vocab_topk``: the exact histogram's state is
+    the full vocabulary (unbounded — web-scale corpora have billions of
+    distinct tokens), while the sketch is a FIXED depth×width integer
+    grid whatever the corpus: the groupBy key domain is ≤ depth·width,
+    partial aggregation collapses every partition to ≤ depth·width cells
+    map-side, and sketches of corpus shards merge by cell-wise ADD (the
+    linearity the literature exploits for distributed/streaming counts).
+    Hash is the portable MD5 family (avalanche — the sampling-bucket
+    argument), so the sketch is bit-identical across engines and the
+    DuckDB twin reproduces every cell."""
+    toks = documents.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+    from .walks import _hash48
+
+    cells = toks.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+        "token",
+    ).select(
+        "d",
+        (
+            _hash48(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("d").cast("string"),
+                    F.lit(":"),
+                    F.col("token"),
+                )
+            )
+            % F.lit(width)
+        )
+        .cast("int")
+        .alias("col"),
+    )
+    return cells.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    tokens: list[str],
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for a bounded token list → (token, est long):
+    est = min over rows d of the (d, h_d(token)) cell (0 if absent — the
+    cell was never touched). The probe side is |tokens|·depth literal
+    rows, broadcast against the ≤ depth·width-row sketch."""
+    spark = sketch.sparkSession
+    from .walks import _hash48
+
+    probe = spark.createDataFrame(
+        [(t, d) for t in tokens for d in range(depth)], "token string, d int"
+    ).select(
+        "token",
+        "d",
+        (
+            _hash48(
+                F.concat(
+                    F.lit(f"{salt}:"),
+                    F.col("d").cast("string"),
+                    F.lit(":"),
+                    F.col("token"),
+                )
+            )
+            % F.lit(width)
+        )
+        .cast("int")
+        .alias("col"),
+    )
+    return (
+        probe.join(sketch, ["d", "col"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -856,6 +856,29 @@ FROM vs ORDER BY cf DESC, token ASC LIMIT {n}
 """
 
 
+def docs_countmin_sql(
+    *, depth: int = 4, width: int = 1024, salt: str = "cm"
+) -> str:
+    """d, col, cnt — twin of operators.vocab.token_countmin: every token
+    occurrence hashed into depth rows with the portable MD5 family."""
+    ds = ", ".join(f"({i})" for i in range(depth))
+    h = (
+        f"CAST(concat('0x', substring(md5(concat('{salt}:', CAST(d AS VARCHAR), "
+        "':', token)), 1, 12)) AS BIGINT)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+dd AS (SELECT * FROM (VALUES {ds}) AS t(d)),
+cells AS (
+  SELECT d, CAST({h} % {width} AS INT) AS col FROM toks, dd
+)
+SELECT CAST(d AS INT) AS d, col, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY d, col
+"""
+
+
 def docs_quality_sample_sql(*, salt: str = "q") -> str:
     """doc_id, score — twin of operators.sampling.weighted_hash_sample
     with the quality score as the per-row keep probability: the same MD5
