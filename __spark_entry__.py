@@ -848,6 +848,42 @@ def _q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, k=CONTAM_K)
 
 
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 4
+
+
+def _q_docs_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination on the docs_contamination split:
+    the benchmark collapses to a position table CAPPED at BLOOM_BITS
+    rows whatever the benchmark size (vs the unbounded exact shingle
+    broadcast); no false negatives, every position twinned."""
+    from pagerank_optimization_spark.operators.quality import bloom_contamination
+    from pagerank_optimization_spark.operators.sampling import (
+        SAMPLE_DENOM,
+        _sample_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bkt = _sample_bucket(F.col("doc_id"), "bench")
+    thr = int(CONTAM_RATE * SAMPLE_DENOM)
+    bench = docs.where(bkt < F.lit(thr))
+    corpus = docs.where(bkt >= F.lit(thr))
+    return bloom_contamination(
+        corpus, bench, k=CONTAM_K, bits=BLOOM_BITS, hashes=BLOOM_HASHES
+    )
+
+
+def _q_docs_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers of the corpus's distinct-token set — FIXED 2^8-row
+    state however large the vocabulary (the cardinality leg of the
+    sketch toolkit next to docs_countmin's frequencies); every register
+    engine-bit-identical to the DuckDB twin."""
+    from pagerank_optimization_spark.operators.vocab import token_hll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_hll(docs, p=8)
+
+
 def _q_docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus line dedup: keep-first on normalized lines,
     boilerplate frequency cap, byte-exact document reassembly (the hash
@@ -1222,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_countmin": _q_docs_countmin,
+        "docs_token_hll": _q_docs_token_hll,
+        "docs_bloom_contam": _q_docs_bloom_contam,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
@@ -1350,6 +1388,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_sample": osql_docs.docs_hash_sample_sql(0.1),
         "docs_weighted_sample": osql_docs.docs_weighted_reservoir_sql(40, salt="wrs"),
         "docs_countmin": osql_docs.docs_countmin_sql(depth=4, width=1024),
+        "docs_token_hll": osql_docs.docs_token_hll_sql(p=8),
+        "docs_bloom_contam": osql_docs.docs_bloom_contam_sql(
+            k=CONTAM_K,
+            bits=BLOOM_BITS,
+            hashes=BLOOM_HASHES,
+            bench_rate=CONTAM_RATE,
+        ),
         "docs_stratified_sample": osql_docs.docs_stratified_sample_sql(
             STRAT_RATES, default_rate=0.05
         ),

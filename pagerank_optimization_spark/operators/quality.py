@@ -189,6 +189,119 @@ def contamination_flags(
     )
 
 
+def _bloom_pos(gram: Column, i: Column, bits: int, salt: str) -> Column:
+    """Bit position of hash row ``i`` for ``gram``: portable MD5 H48
+    (same family as sampling/count-min, reproduced verbatim in DuckDB)
+    mod the filter width."""
+    from .walks import _hash48
+
+    h = _hash48(
+        F.concat(F.lit(f"{salt}:"), i.cast("string"), F.lit(":"), gram)
+    )
+    return (h % F.lit(bits)).cast("int")
+
+
+def bloom_bits(
+    benchmark: DataFrame,
+    *,
+    k: int = 3,
+    bits: int = 1 << 20,
+    hashes: int = 4,
+    salt: str = "bf",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (pos int): the DISTINCT set-bit positions of a Bloom filter
+    (Bloom 1970) over the benchmark's distinct word k-grams — ``hashes``
+    positions per gram from the portable MD5 family.
+
+    This IS the filter: membership(g) ⇔ all ``hashes`` positions of g
+    are present. Representing the bit array as its set-position rows
+    keeps everything declarative (no binary blobs) and gives the two
+    properties the 100 TB story needs: the table is ≤ min(bits,
+    hashes·|grams|) rows whatever the benchmark grows to (state is
+    CAPPED by ``bits`` — contamination_flags' broadcast shingle set is
+    not), and filters over benchmark SHARDS merge by plain distinct
+    union (bitwise OR)."""
+    if bits <= 0 or hashes <= 0:
+        raise ValueError("bloom_bits: bits and hashes must be positive")
+    from .dedup import shingles
+
+    sh = (
+        shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.select(
+            F.explode(F.array(*[F.lit(i) for i in range(hashes)])).alias("i"),
+            "shingle",
+        )
+        .select(_bloom_pos(F.col("shingle"), F.col("i"), bits, salt).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 3,
+    bits: int = 1 << 20,
+    hashes: int = 4,
+    salt: str = "bf",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_flagged_shingles): Bloom-filter eval-set
+    decontamination — corpus documents with ≥1 distinct word k-gram
+    whose EVERY Bloom position is set by the benchmark, with the count
+    of such grams. One-sided by construction: a gram the benchmark
+    contains always tests positive (NO false negatives — a contaminated
+    document is never missed), and a clean gram false-positives w.p.
+    ≈ (1 − e^(−hashes·n/bits))^hashes, so the flag set is a slightly
+    conservative superset of ``contamination_flags``.
+
+    The 100 TB shape vs the exact pass: the broadcast side is the
+    position table — capped at ``bits`` rows (a few MB at 2^20) no
+    matter how large the benchmark union grows (exact broadcast of the
+    shingle set is unbounded as benchmarks accumulate); the corpus side
+    explodes each distinct gram into ``hashes`` probe rows, streams
+    through ONE broadcast semi-join (never shuffled by the benchmark),
+    and a gram is flagged iff all its probes survive — a doc-keyed,
+    map-side-combinable count."""
+    positions = bloom_bits(
+        benchmark,
+        k=k,
+        bits=bits,
+        hashes=hashes,
+        salt=salt,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    from .dedup import shingles
+
+    corpus_sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
+    probes = corpus_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.array(*[F.lit(i) for i in range(hashes)])).alias("i"),
+    ).select(
+        "doc_id",
+        "shingle",
+        _bloom_pos(F.col("shingle"), F.col("i"), bits, salt).alias("pos"),
+    )
+    flagged = (
+        probes.join(F.broadcast(positions), "pos", "left_semi")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("n_set"))
+        .where(F.col("n_set") == hashes)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged_shingles")
+    )
+
+
 def dedup_lines(
     documents: DataFrame,
     *,

@@ -31,6 +31,8 @@ result is reproducible and oracle-checkable row for row.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -538,6 +540,73 @@ def token_countmin(
         .alias("col"),
     )
     return cells.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def token_hll(
+    documents: DataFrame,
+    *,
+    p: int = 8,
+    text_col: str = "text",
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog registers of the DISTINCT-token set (Flajolet et al.
+    2007) → (reg int, rho int), exactly 2^p rows (0 where untouched).
+    Each token occurrence hashes once with the portable MD5 H48 family:
+    low p bits pick the register, the remaining 48−p bits' trailing-zero
+    rank is max-merged per register.
+
+    The third leg of the bounded-state sketch toolkit (count-min =
+    frequencies, Bloom = membership, HLL = cardinality): the exact
+    vocabulary count needs a distinct over an unbounded key domain,
+    while this is a FIXED 2^p-row grid — ``max`` is map-side combinable
+    (each partition reduces to ≤ 2^p rows before the exchange, hot
+    tokens collapse in the partial agg) and shard sketches merge by
+    cell-wise MAX. Registers are engine-bit-identical (the DuckDB twin
+    reproduces every cell); ``hll_estimate`` turns them into the
+    cardinality estimate (±1.04/√2^p relative error)."""
+    if not 4 <= p <= 14:
+        raise ValueError("token_hll: p must be in [4, 14]")
+    m = 1 << p
+    from .walks import _hash48
+
+    h = _hash48(F.concat(F.lit(f"{salt}:"), F.col("token")))
+    w = F.shiftright(h, p)  # h < 2^48 and nonneg: arithmetic == logical
+    rho = (
+        F.when(w == 0, F.lit(48 - p + 1))
+        # (w & -w) isolates the lowest set bit — an exact power of two,
+        # so log2 over double is exact (the neighborhood.py argument)
+        .otherwise(F.log2(w.bitwiseAND(-w)).cast("int") + F.lit(1))
+        .cast("int")
+    )
+    regs = (
+        documents.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+        .select((h % m).cast("int").alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = documents.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("reg")
+    )
+    return full.join(regs, "reg", "left").select(
+        "reg", F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_estimate(sketch: DataFrame, *, p: int = 8) -> float:
+    """Distinct-count estimate from a ``token_hll`` register table:
+    standard HLL harmonic mean with the small-range linear-counting
+    correction. One ≤2^p-row aggregate, one scalar collect."""
+    from .neighborhood import _alpha
+
+    m = 1 << p
+    row = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double"))).alias("z"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zeros"),
+    ).collect()[0]
+    raw = _alpha(m) * m * m / row["z"]
+    if raw <= 2.5 * m and row["zeros"] > 0:
+        return m * math.log(m / row["zeros"])
+    return raw
 
 
 def countmin_lookup(

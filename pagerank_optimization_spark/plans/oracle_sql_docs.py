@@ -879,6 +879,81 @@ FROM cells GROUP BY d, col
 """
 
 
+def docs_bloom_contam_sql(
+    *,
+    k: int = 3,
+    bits: int = 1 << 20,
+    hashes: int = 4,
+    salt: str = "bf",
+    bench_rate: float = 0.02,
+    bench_salt: str = "bench",
+) -> str:
+    """doc_id, n_flagged_shingles — twin of
+    operators.quality.bloom_contamination on the docs_contamination
+    split (hash-sampled benchmark vs complement corpus): every Bloom
+    position reproduced with the portable MD5 family, a gram flagged
+    iff all ``hashes`` probe rows land on set positions."""
+    thr = int(bench_rate * SAMPLE_DENOM)
+    hh = ", ".join(f"({i})" for i in range(hashes))
+    pos = (
+        f"CAST(CAST(concat('0x', substring(md5(concat('{salt}:', "
+        f"CAST(i AS VARCHAR), ':', gram)), 1, 12)) AS BIGINT) % {bits} AS INT)"
+    )
+    return rf"""
+WITH bucketed AS MATERIALIZED (
+  SELECT doc_id, text, {_sample_bucket_sql('doc_id', bench_salt)} AS bkt
+  FROM documents
+),
+hh AS (SELECT * FROM (VALUES {hh}) AS t(i)),
+bench_sh AS (
+  SELECT DISTINCT gram FROM ({_grams_all_sql(k, "(SELECT doc_id, text FROM bucketed WHERE bkt < %d) bsrc" % thr)})
+),
+setbits AS MATERIALIZED (
+  SELECT DISTINCT {pos} AS pos FROM bench_sh, hh
+),
+corpus_sh AS (
+  SELECT DISTINCT doc_id, gram
+  FROM ({_grams_all_sql(k, "(SELECT doc_id, text FROM bucketed WHERE bkt >= %d) csrc" % thr)})
+),
+probes AS (
+  SELECT doc_id, gram, {pos} AS pos FROM corpus_sh, hh
+),
+flagged AS (
+  SELECT doc_id, gram
+  FROM probes JOIN setbits USING (pos)
+  GROUP BY doc_id, gram HAVING count(*) = {hashes}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_shingles
+FROM flagged GROUP BY doc_id
+"""
+
+
+def docs_token_hll_sql(*, p: int = 8, salt: str = "hll") -> str:
+    """reg, rho — twin of operators.vocab.token_hll: one portable-MD5
+    H48 per token occurrence, low p bits → register, trailing-zeros+1
+    of the top 48−p bits → rank, max per register, zero-filled."""
+    m = 1 << p
+    h = f"CAST(concat('0x', substring(md5(concat('{salt}:', token)), 1, 12)) AS BIGINT)"
+    return rf"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS token FROM documents
+),
+hw AS (
+  SELECT CAST(h % {m} AS INT) AS reg, h // {m} AS w
+  FROM (SELECT {h} AS h FROM toks)
+),
+ranks AS (
+  SELECT reg,
+         CASE WHEN w = 0 THEN {48 - p + 1}
+              ELSE CAST(log2(w & (-w)) AS INT) + 1 END AS rho
+  FROM hw
+),
+agg AS (SELECT reg, max(rho) AS rho FROM ranks GROUP BY reg)
+SELECT CAST(t.r AS INT) AS reg, CAST(coalesce(a.rho, 0) AS INT) AS rho
+FROM range(0, {m}) AS t(r) LEFT JOIN agg a ON a.reg = t.r
+"""
+
+
 def docs_quality_sample_sql(*, salt: str = "q") -> str:
     """doc_id, score — twin of operators.sampling.weighted_hash_sample
     with the quality score as the per-row keep probability: the same MD5
