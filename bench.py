@@ -688,6 +688,36 @@ def main() -> None:
             n_docs / queries["pipe_contamination"]
         )
 
+        # Bounded-state sketch toolkit: same split as pipe_contamination
+        # for the Bloom variant (benchmark side capped at `bits` position
+        # rows vs the exact pass's unbounded shingle broadcast), plus the
+        # fixed-grid frequency (count-min) and cardinality (HLL) sketches.
+        from pagerank_optimization_spark.operators.quality import bloom_contamination
+        from pagerank_optimization_spark.operators.vocab import token_countmin, token_hll
+
+        timed_min(
+            "pipe_bloom_contam",
+            lambda: bloom_contamination(
+                docs.where(_bkt >= _thr), docs.where(_bkt < _thr), k=4
+            ).count(),
+            n=oneshot_trials,
+        )
+        pipe["bloom_contam_docs_per_sec"] = round(
+            n_docs / queries["pipe_bloom_contam"]
+        )
+        timed_min(
+            "pipe_countmin",
+            lambda: token_countmin(docs, depth=4, width=1024).count(),
+            n=oneshot_trials,
+        )
+        pipe["countmin_docs_per_sec"] = round(n_docs / queries["pipe_countmin"])
+        timed_min(
+            "pipe_token_hll",
+            lambda: token_hll(docs, p=8).count(),
+            n=oneshot_trials,
+        )
+        pipe["hll_docs_per_sec"] = round(n_docs / queries["pipe_token_hll"])
+
         timed_min(
             "pipe_events_sessionize",
             lambda: sessionize(events, gap_seconds=1800).count(),
