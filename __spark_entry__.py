@@ -873,6 +873,29 @@ def _q_docs_bloom_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_DIM = 1024
+DSIR_RATE = 0.05
+
+
+def _q_docs_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): a deterministic 5%
+    hash-slice of the corpus plays the target domain, the complement is
+    the raw pool; every hashed unigram+bigram bucket count and smoothed
+    log-ratio reproduced by the DuckDB twin."""
+    from pagerank_optimization_spark.operators.dsir import dsir_logratios
+    from pagerank_optimization_spark.operators.sampling import (
+        SAMPLE_DENOM,
+        _sample_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bkt = _sample_bucket(F.col("doc_id"), "dsir")
+    thr = int(DSIR_RATE * SAMPLE_DENOM)
+    target = docs.where(bkt < F.lit(thr))
+    raw = docs.where(bkt >= F.lit(thr))
+    return dsir_logratios(raw, target, dim=DSIR_DIM)
+
+
 def _q_docs_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL registers of the corpus's distinct-token set — FIXED 2^8-row
     state however large the vocabulary (the cardinality leg of the
@@ -1260,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_countmin": _q_docs_countmin,
         "docs_token_hll": _q_docs_token_hll,
         "docs_bloom_contam": _q_docs_bloom_contam,
+        "docs_dsir_weights": _q_docs_dsir,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_b512": _q_docs_pack_b512,
         "docs_repetition": _q_docs_repetition,
@@ -1389,6 +1413,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": osql_docs.docs_weighted_reservoir_sql(40, salt="wrs"),
         "docs_countmin": osql_docs.docs_countmin_sql(depth=4, width=1024),
         "docs_token_hll": osql_docs.docs_token_hll_sql(p=8),
+        "docs_dsir_weights": osql_docs.docs_dsir_sql(
+            dim=DSIR_DIM, rate=DSIR_RATE
+        ),
         "docs_bloom_contam": osql_docs.docs_bloom_contam_sql(
             k=CONTAM_K,
             bits=BLOOM_BITS,

@@ -718,6 +718,17 @@ def main() -> None:
         )
         pipe["hll_docs_per_sec"] = round(n_docs / queries["pipe_token_hll"])
 
+        from pagerank_optimization_spark.operators.dsir import dsir_logratios
+
+        timed_min(
+            "pipe_dsir_weights",
+            lambda: dsir_logratios(
+                docs.where(_bkt >= _thr), docs.where(_bkt < _thr), dim=1024
+            ).count(),
+            n=oneshot_trials,
+        )
+        pipe["dsir_docs_per_sec"] = round(n_docs / queries["pipe_dsir_weights"])
+
         timed_min(
             "pipe_events_sessionize",
             lambda: sessionize(events, gap_seconds=1800).count(),

@@ -954,6 +954,69 @@ FROM range(0, {m}) AS t(r) LEFT JOIN agg a ON a.reg = t.r
 """
 
 
+def docs_dsir_sql(
+    *,
+    dim: int = 1024,
+    k: float = 0.5,
+    rate: float = 0.05,
+    salt: str = "dsir",
+    round_to: int = 6,
+) -> str:
+    """doc_id, n_feat, logw, logw_per_feat — twin of
+    operators.dsir.dsir_logratios on a hash-split corpus (rate plays the
+    target): unigram+bigram features, portable poly hash mod dim,
+    add-k smoothed log-likelihood ratio over the full bucket domain."""
+    thr = int(rate * SAMPLE_DENOM)
+    tgt = "(SELECT doc_id, text FROM bucketed WHERE bkt < %d) tsrc" % thr
+    raw = "(SELECT doc_id, text FROM bucketed WHERE bkt >= %d) rsrc" % thr
+    b = f"CAST({_poly('gram')} % {dim} AS INT)"
+    return rf"""
+WITH bucketed AS MATERIALIZED (
+  SELECT doc_id, text, {_sample_bucket_sql('doc_id', salt)} AS bkt
+  FROM documents
+),
+tfeat AS (
+  SELECT gram FROM (SELECT unnest({TOKS}) AS gram FROM {tgt})
+  UNION ALL
+  SELECT gram FROM ({_grams_all_sql(2, tgt)})
+),
+rfeat AS MATERIALIZED (
+  SELECT doc_id, gram FROM (SELECT doc_id, unnest({TOKS}) AS gram FROM {raw})
+  UNION ALL
+  SELECT doc_id, gram FROM ({_grams_all_sql(2, raw)})
+),
+cf_t AS (SELECT {b} AS b, count(*) AS cf_t FROM tfeat GROUP BY 1),
+cf_r AS (SELECT {b} AS b, count(*) AS cf_r FROM rfeat GROUP BY 1),
+tot AS (
+  SELECT (SELECT coalesce(sum(cf_t), 0) FROM cf_t) AS t_t,
+         (SELECT coalesce(sum(cf_r), 0) FROM cf_r) AS t_r
+),
+model AS (
+  SELECT t.r AS b,
+         ln((coalesce(cf_t, 0) + {k}) / (t_t + {k * dim}))
+       - ln((coalesce(cf_r, 0) + {k}) / (t_r + {k * dim})) AS lr
+  FROM range(0, {dim}) AS t(r)
+  LEFT JOIN cf_t ON cf_t.b = t.r
+  LEFT JOIN cf_r ON cf_r.b = t.r
+  CROSS JOIN tot
+),
+docfeat AS (
+  SELECT doc_id, {b} AS b, count(*) AS c FROM rfeat GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, sum(c) AS n_feat, sum(c * lr) AS logw
+  FROM docfeat JOIN model USING (b) GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(coalesce(n_feat, 0) AS BIGINT) AS n_feat,
+       round(coalesce(logw, 0), {round_to}) AS logw,
+       round(CASE WHEN n_feat IS NOT NULL THEN logw / n_feat ELSE 0 END,
+             {round_to}) AS logw_per_feat
+FROM (SELECT doc_id FROM bucketed WHERE bkt >= {thr}) r
+LEFT JOIN scored USING (doc_id)
+"""
+
+
 def docs_quality_sample_sql(*, salt: str = "q") -> str:
     """doc_id, score — twin of operators.sampling.weighted_hash_sample
     with the quality score as the per-row keep probability: the same MD5
