@@ -15,11 +15,17 @@ Stage ladder (each stage linear / bucketed — no all-pairs joins):
 1. line dedup        quality.dedup_lines (keep-first, boilerplate cap)
 2. doc dedup         dedup.dedup_cascade (exact → MinHash-LSH → semantic)
 3. repetition filter quality.repetition_stats thresholds (Gopher-style)
-4. decontamination   quality.contamination_flags vs --benchmark (if given)
-5. source cap        quality.source_cap keeps the N best per source
-6. PII redaction     pii.redact_pii (--redact-pii; rewrites text in place)
-7. sampling          sampling.hash_sample (deterministic, resumable)
-8. packing           sampling.pack_documents at --pack-budget
+4. decontamination   quality.contamination_flags vs --benchmark (if given);
+                     --bloom-bits N switches to quality.bloom_contamination
+                     (benchmark state capped at N position rows, no false
+                     negatives — the accumulated-benchmarks form)
+5. DSIR selection    dsir.dsir_logratios vs --dsir-target +
+                     weighted_reservoir_sample of --dsir-top-n docs at
+                     --dsir-temperature (Xie et al. 2023 resampling)
+6. source cap        quality.source_cap keeps the N best per source
+7. PII redaction     pii.redact_pii (--redact-pii; rewrites text in place)
+8. sampling          sampling.hash_sample (deterministic, resumable)
+9. packing           sampling.pack_documents at --pack-budget
 
 Writes the curated docs parquet plus a .stats.json with per-stage
 in/out counts and skew-cap fire counters — the numbers an operator of a
@@ -44,6 +50,16 @@ def main(argv=None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="benchmark docs parquet for decontamination")
     ap.add_argument("--contam-k", type=int, default=8)
+    ap.add_argument("--bloom-bits", type=int, default=None,
+                    help="use Bloom-filter decontamination with this many bits "
+                         "(capped benchmark state, no false negatives)")
+    ap.add_argument("--bloom-hashes", type=int, default=4)
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-domain docs parquet for DSIR selection")
+    ap.add_argument("--dsir-top-n", type=int, default=None,
+                    help="keep this many docs by DSIR importance resampling")
+    ap.add_argument("--dsir-temperature", type=float, default=1.0)
+    ap.add_argument("--dsir-dim", type=int, default=4096)
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--sample-salt", default="")
     ap.add_argument("--pack-budget", type=int, default=2048)
@@ -116,15 +132,54 @@ def main(argv=None) -> int:
     # 4. decontamination (only with a benchmark table)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
-        flagged = contamination_flags(docs4, bench, k=args.contam_k).select("doc_id")
+        if args.bloom_bits:
+            from pagerank_optimization_spark.operators.quality import (
+                bloom_contamination,
+            )
+
+            flagged = bloom_contamination(
+                docs4,
+                bench,
+                k=args.contam_k,
+                bits=args.bloom_bits,
+                hashes=args.bloom_hashes,
+            ).select("doc_id")
+        else:
+            flagged = contamination_flags(
+                docs4, bench, k=args.contam_k
+            ).select("doc_id")
         docs5 = docs4.join(flagged, "doc_id", "left_anti").persist()
-        record("decontamination", docs5.count())
+        record("decontamination", docs5.count(),
+               mode="bloom" if args.bloom_bits else "exact")
         docs4.unpersist()
     else:
         docs5 = docs4
         record("decontamination", n, skipped="no --benchmark")
 
-    # 5. per-source cap (only if requested and the column exists)
+    # 5. DSIR target-domain selection (only with a target + budget)
+    if args.dsir_target and args.dsir_top_n:
+        from pagerank_optimization_spark.operators.dsir import dsir_logratios
+        from pagerank_optimization_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        target = spark.read.parquet(args.dsir_target)
+        w = dsir_logratios(docs5, target, dim=args.dsir_dim).select(
+            "doc_id",
+            F.exp(F.col("logw_per_feat") / F.lit(args.dsir_temperature)).alias("w"),
+        )
+        picked = weighted_reservoir_sample(
+            w, args.dsir_top_n, F.col("w"), "doc_id"
+        ).select("doc_id")
+        docs5b = docs5.join(picked, "doc_id").persist()
+        record("dsir_select", docs5b.count(), top_n=args.dsir_top_n,
+               temperature=args.dsir_temperature, dim=args.dsir_dim)
+        docs5.unpersist()
+        docs5 = docs5b
+    else:
+        record("dsir_select", n, skipped="no --dsir-target/--dsir-top-n")
+
+    # 6. per-source cap (only if requested and the column exists)
     if args.source_cap and "source" in docs5.columns:
         capped = source_cap(docs5, args.source_cap).select("doc_id")
         docs6 = docs5.join(capped, "doc_id").persist()
@@ -134,7 +189,7 @@ def main(argv=None) -> int:
         docs6 = docs5
         record("source_cap", n, skipped="not requested")
 
-    # 6. PII redaction (rewrites text in place; drops nothing)
+    # 7. PII redaction (rewrites text in place; drops nothing)
     if args.redact_pii:
         from pagerank_optimization_spark.operators.pii import PII_RULES, redact_pii
 
@@ -157,7 +212,7 @@ def main(argv=None) -> int:
         docs6r = docs6
         record("pii_redact", n, skipped="not requested")
 
-    # 7. deterministic sampling
+    # 8. deterministic sampling
     if args.sample_rate < 1.0:
         docs7 = hash_sample(docs6r, args.sample_rate, "doc_id", salt=args.sample_salt)
     else:
@@ -165,7 +220,7 @@ def main(argv=None) -> int:
     docs7 = docs7.persist()
     record("hash_sample", docs7.count(), rate=args.sample_rate)
 
-    # 8. sequence packing: attach bin assignment to each survivor
+    # 9. sequence packing: attach bin assignment to each survivor
     packed = pack_documents(docs7, args.pack_budget)
     out = docs7.join(packed, "doc_id")
     out.write.mode("overwrite").parquet(args.output)
