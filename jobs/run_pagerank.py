@@ -42,6 +42,10 @@ def main(argv=None) -> int:
     ap.add_argument("--fixed-iters", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--checkpoint", default=None, help="checkpoint root (enables resume)")
+    ap.add_argument("--warm-start", default=None,
+                    help="previous run's rank parquet (entity, pr) to seed x0 — "
+                         "the incremental form for an evolving graph; a "
+                         "--checkpoint resume takes precedence")
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--top", type=int, default=20, help="print top-N entities")
     args = ap.parse_args(argv)
@@ -64,6 +68,7 @@ def main(argv=None) -> int:
         if args.checkpoint
         else None
     )
+    x0 = spark.read.parquet(args.warm_start) if args.warm_start else None
     res = pagerank(
         vertices,
         edges,
@@ -74,6 +79,7 @@ def main(argv=None) -> int:
         partitions=args.partitions,
         kernel=args.kernel,
         checkpointer=cm,
+        x0=x0,
     )
     res.ranks.write.mode("overwrite").parquet(args.output)
     print(

@@ -66,6 +66,7 @@ def _iterate(
     partitions: int,
     checkpointer=None,
     reset: DataFrame | None = None,
+    x0: DataFrame | None = None,
 ) -> PageRankResult:
     """The shared superstep loop. ``step_fn(ranks) -> contribs`` computes the
     gather-scatter SpMV (kernel-specific); everything else — dangling mass,
@@ -75,7 +76,13 @@ def _iterate(
     ``reset``: optional personalized teleport distribution
     (id_col, reset_w) — MUST already be normalized to sum 1. Teleport and
     dangling mass then land on reset_w instead of 1/n (topic-sensitive /
-    personalized PageRank); x0 = reset."""
+    personalized PageRank); x0 = reset unless a warm ``x0`` is given.
+
+    ``x0``: optional warm-start vector (id_col, pr ≥ 0) — densified over
+    the CURRENT vertex set (new vertices start at 0, weights on departed
+    ids drop) and renormalized to sum 1. A checkpointer resume takes
+    precedence (resume is bitwise; warm start is a fresh run from a
+    better x0)."""
     def canonical(df: DataFrame) -> DataFrame:
         # canonical physical layout for the rank vector: hash-partitioned on
         # the id, sorted within partitions. Makes the FP summation order of
@@ -92,7 +99,23 @@ def _iterate(
             start_iter, ranks = resumed
     fresh = ranks is None
     if fresh:
-        if reset is not None:
+        if x0 is not None:
+            # warm start (incremental recompute after a graph delta): the
+            # fixed point of the new graph is near the old one, so seeding
+            # with the previous ranks cuts iterations-to-tol (tested:
+            # exact-fixed-point seed converges in 1 superstep)
+            raw = vertices.join(
+                x0.select(id_col, F.col("pr").alias("_x0")), id_col, "left"
+            ).select(id_col, F.coalesce(F.col("_x0"), F.lit(0.0)).alias("pr"))
+            total = raw.agg(F.sum("pr")).collect()[0][0]
+            if not total or total <= 0:
+                raise ValueError(
+                    "pagerank: x0 has no positive mass on any graph vertex"
+                )
+            ranks = raw.select(
+                id_col, (F.col("pr") / F.lit(float(total))).alias("pr")
+            )
+        elif reset is not None:
             # personalized: x0 = the teleport distribution, expanded over the
             # FULL vertex set (the loop's stats join assumes the rank vector
             # covers every vertex — a subset x0 silently corrupts the
@@ -110,7 +133,7 @@ def _iterate(
     # next dangling mass into the same single action as the delta — ONE
     # driver-side scalar job per superstep, never a collect of the vector.
     n_dangling = dangling.count()
-    if fresh and reset is None:
+    if fresh and reset is None and x0 is None:
         dangling_mass = n_dangling / n
     elif fresh:
         dangling_mass = (
@@ -274,6 +297,7 @@ def pagerank(
     kernel: str = "join-agg",
     hub_split_degree: int | Literal["auto"] | None = None,
     reset: DataFrame | None = None,
+    x0: DataFrame | None = None,
     checkpointer=None,
     csr_broadcast_frontier: bool | None = None,
 ) -> PageRankResult:
@@ -310,6 +334,15 @@ def pagerank(
     the dispatch contract is feature-uniform, like the reference's macro
     dispatch (build_test_rig.sh:37-48).
 
+    ``x0``: warm-start rank vector (id_col, pr ≥ 0) — the incremental
+    form for an evolving graph: seed with the PREVIOUS run's ranks (the
+    shape ``result.ranks`` already has), densified over the current
+    vertex set (new vertices 0) and renormalized. Near-fixed-point seeds
+    cut iterations-to-tol by an order of magnitude on small deltas
+    (tested); supported by BOTH kernels (feature-uniform dispatch). A
+    ``checkpointer`` resume takes precedence — resume is the bitwise
+    mid-run form, warm start the cross-run form.
+
     ``csr_broadcast_frontier`` (csr-blocks kernel only): None picks the
     frontier strategy by |V| (broadcast below BROADCAST_ROW_LIMIT, the
     merge-join scale mode above); True/False forces a mode — used to run
@@ -343,6 +376,7 @@ def pagerank(
             fixed_iters=fixed_iters,
             partitions=partitions,
             reset=reset,
+            x0=x0,
             checkpointer=checkpointer,
             broadcast_frontier=csr_broadcast_frontier,
         )
@@ -432,6 +466,7 @@ def pagerank(
             partitions=partitions,
             checkpointer=checkpointer,
             reset=reset,
+            x0=x0,
         )
     finally:
         edges.unpersist()

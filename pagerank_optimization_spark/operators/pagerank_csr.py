@@ -595,6 +595,7 @@ def pagerank_csr(
     fixed_iters: int | None,
     partitions: int,
     reset: DataFrame | None = None,
+    x0: DataFrame | None = None,
     checkpointer=None,
     broadcast_frontier: bool | None = None,
 ):
@@ -669,7 +670,31 @@ def pagerank_csr(
         if resumed is not None:
             start_iter, ranks0 = resumed
     if ranks0 is None:
-        if reset_vid is not None:
+        if x0 is not None:
+            # warm start: entity space → vid space (mass on departed ids
+            # drops via the join, new vids densify to 0), renormalize —
+            # the same contract as the join-agg path, so the kernel
+            # dispatch stays feature-uniform
+            x0_vid = x0.select(
+                F.col(id_col).alias("entity"), F.col("pr").alias("_x0")
+            ).join(hint(ids), "entity")
+            total = x0_vid.agg(F.sum("_x0")).collect()[0][0]
+            if not total or total <= 0:
+                raise ValueError(
+                    "pagerank: x0 has no positive mass on any graph vertex"
+                )
+            ranks0 = vids.join(x0_vid.select("vid", "_x0"), "vid", "left").select(
+                "vid",
+                (F.coalesce(F.col("_x0"), F.lit(0.0)) / F.lit(float(total))).alias(
+                    "pr"
+                ),
+            )
+            dm0 = (
+                ranks0.join(dangling_vids, "vid", "left_semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        elif reset_vid is not None:
             ranks0 = vids.join(reset_vid, "vid", "left").select(
                 "vid", F.coalesce(F.col("reset_w"), F.lit(0.0)).alias("pr")
             )
