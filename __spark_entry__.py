@@ -1193,6 +1193,18 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (Jégou et al. 2011): min-id seeding +
+    zero Lloyd rounds so the whole quantizer — codebooks, per-subspace
+    assignment, ADC lookup sum — is SQL-expressible and value-hashed."""
+    from pagerank_optimization_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(
+        emb, EMB_QUERY_IDS, k=10, m_sub=4, k_codes=8, iters=0, init="min_id"
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_optimization_spark.operators.multimodal import (
         extract_features,
@@ -1314,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental": _q_docs_dedup_incremental,
         "emb_neardup_pairs": _q_emb_neardup_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_pq_topk": _q_emb_pq_topk,
         "emb_pca_top": _q_emb_pca_top,
         "emb_quantize": _q_emb_quantize,
         "emb_quantized_topk": _q_emb_quantized_topk,
@@ -1461,4 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_neardup_pairs": osql_docs.emb_neardup_pairs_sql(threshold=0.4),
         "emb_ivf_topk": osql_docs.emb_ivf_topk_sql(EMB_QUERY_IDS, k=10, n_centroids=8, nprobe=3),
+        "emb_pq_topk": osql_docs.emb_pq_topk_sql(
+            EMB_QUERY_IDS, k=10, m_sub=4, k_codes=8, dim=64
+        ),
     }

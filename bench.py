@@ -770,6 +770,17 @@ def main() -> None:
         )
         pipe["ivf_vecs_per_sec"] = round(n_emb / queries["pipe_ivf_topk"])
 
+        from pagerank_optimization_spark.operators.similarity import pq_topk
+
+        timed_min(
+            "pipe_pq_topk",
+            lambda: pq_topk(
+                emb, [0, 7, 42], k=10, m_sub=4, k_codes=16, iters=2
+            ).count(),
+            n=oneshot_trials,
+        )
+        pipe["pq_vecs_per_sec"] = round(n_emb / queries["pipe_pq_topk"])
+
         docs.unpersist(), emb.unpersist(), events.unpersist()
 
         # --- corpus-size sweep (r4 VERDICT #3): the 100 TB claim for the

@@ -422,3 +422,239 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+# --- Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory/compute path that completes the
+# IVF-PQ stack: each unit vector splits into m_sub subvectors, each
+# subvector quantizes to one of k_codes per-subspace centroids, and a
+# corpus vector is stored as m_sub small integer codes (dim·4 bytes →
+# m_sub bytes: 64× at dim 64 / float32, 4096× at dim 1024 against the
+# float64 compute form). Query scoring is ADC (asymmetric distance
+# computation): the query precomputes an m_sub×k_codes lookup table of
+# exact subvector·centroid dot products, and every corpus vector's
+# approximate cosine is m_sub table lookups summed — NO per-dimension
+# math ever touches the corpus side at query time.
+#
+# Scale shape: training is the IVF Lloyd loop lifted to (sub, code) —
+# assignment is ONE data-sized plan for ALL subspaces (posexplode ⋈
+# broadcast codebook on (sub, pos), map-side-combinable partial dots,
+# struct-min argmin), means are per-(sub, code, pos) aggregates, the
+# codebook is driver-tiny (m_sub·k_codes·d_sub doubles). Scoring shuffles
+# n·m_sub (neighbor, sub, code) rows joined against a broadcast LUT —
+# never the vectors themselves.
+
+
+def _pq_subvectors(uni: DataFrame, id_col: str, m_sub: int, d_sub: int) -> DataFrame:
+    """(id, sub, sv): the m_sub slices of each unit vector."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("unit", s * d_sub + 1, d_sub).alias("sv"),
+            )
+            for s in range(m_sub)
+        ]
+    )
+    return uni.select(F.col(id_col), F.explode(parts).alias("p")).select(
+        id_col, F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_dim(uni: DataFrame, m_sub: int) -> int:
+    row = uni.select(F.size("unit").alias("d")).first()
+    if row is None:
+        raise ValueError("pq: empty embedding table")
+    dim = int(row["d"])
+    if m_sub < 1 or dim % m_sub != 0:
+        raise ValueError(f"pq: m_sub={m_sub} must divide the embedding dim {dim}")
+    return dim
+
+
+def _pq_assign(sv: DataFrame, codebooks, id_col: str) -> DataFrame:
+    """(id, sub, code): nearest per-subspace centroid by L2, ties → min
+    code. argmin ||x−c||² = argmin (c·c − 2 x·c) — x·x is constant per
+    (id, sub), so the key is computable from the broadcast-join partial
+    dots alone (the IVF join-argmax plan lifted to subspaces)."""
+    import numpy as np
+
+    spark = sv.sparkSession
+    crows = [
+        (s, c, pos, float(v))
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+        for pos, v in enumerate(cent)
+    ]
+    cdf = spark.createDataFrame(crows, "sub int, code int, pos int, cval double")
+    cn = spark.createDataFrame(
+        [
+            (s, c, float(np.dot(cent, cent)))
+            for s, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "sub int, code int, cn double",
+    )
+    dots = (
+        sv.select(F.col(id_col), "sub", F.posexplode("sv").alias("pos", "val"))
+        .join(F.broadcast(cdf), ["sub", "pos"])
+        .groupBy(id_col, "sub", "code")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+    )
+    keyed = dots.join(F.broadcast(cn), ["sub", "code"]).select(
+        F.col(id_col),
+        "sub",
+        "code",
+        (F.col("cn") - 2.0 * F.col("dot")).alias("dk"),
+    )
+    return (
+        keyed.groupBy(id_col, "sub")
+        .agg(
+            F.min(F.struct(F.col("dk"), F.col("code").alias("code"))).alias("_b")
+        )
+        .select(F.col(id_col), "sub", F.col("_b.code").alias("code"))
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: → codebooks[sub][code] = d_sub-float
+    centroid. Initialization takes the k_codes first vectors in xxhash64
+    order ("hash", spread seeds) or vec_id order ("min_id" — with
+    iters=0 the whole quantizer is SQL-reproducible, the IVF convention);
+    each Lloyd round is one assignment plan + one per-(sub, code, pos)
+    mean aggregate for ALL subspaces together."""
+    import numpy as np
+
+    if k_codes < 1:
+        raise ValueError(f"pq_train: k_codes must be >= 1, got {k_codes}")
+    uni = (
+        with_unit_vectors(embeddings, vec_col=vec_col)
+        .select(id_col, "unit")
+        .persist()
+    )
+    dim = _pq_dim(uni, m_sub)
+    d_sub = dim // m_sub
+    order = F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
+    seeds = (
+        uni.withColumn("h", order).orderBy("h", id_col).limit(k_codes).select("unit").collect()
+    )
+    mat = np.array([r["unit"] for r in seeds], dtype=np.float64)
+    codebooks = [
+        mat[:, s * d_sub : (s + 1) * d_sub].copy().tolist() for s in range(m_sub)
+    ]
+    sv = _pq_subvectors(uni, id_col, m_sub, d_sub).persist()
+    for _ in range(iters):
+        assigned = _pq_assign(sv, codebooks, id_col)
+        cells = (
+            assigned.join(sv, [id_col, "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [np.array(b, dtype=np.float64) for b in codebooks]
+        for r in cells:
+            new[r["sub"]][r["code"], r["pos"]] = r["s"] / r["n"]
+        codebooks = [b.tolist() for b in new]
+    sv.unpersist()
+    uni.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, codes array<int>, one code per subspace in sub order):
+    the compressed corpus representation (m_sub small ints per vector)."""
+    m_sub = len(codebooks)
+    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit")
+    d_sub = _pq_dim(uni, m_sub) // m_sub
+    sv = _pq_subvectors(uni, id_col, m_sub, d_sub)
+    assigned = _pq_assign(sv, codebooks, id_col)
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> DataFrame:
+    """PQ-ADC approximate top-k: → (query_id, neighbor_id, adc, rank),
+    self-matches excluded. adc ≈ cosine (unit vectors): the query's exact
+    subvectors dot the codebook once into an m_sub×k_codes LUT
+    (driver-tiny, broadcast), and every corpus vector scores as the sum
+    of its m_sub looked-up entries — the corpus side moves only (id, sub,
+    code) ints."""
+    import numpy as np
+
+    codebooks = pq_train(
+        embeddings,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        init=init,
+    )
+    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
+    d_sub = _pq_dim(uni, m_sub) // m_sub
+    sv = _pq_subvectors(uni, id_col, m_sub, d_sub)
+    assigned = _pq_assign(sv, codebooks, id_col).persist()
+    qrows = uni.filter(F.col(id_col).isin(query_ids)).collect()
+    lut_rows = []
+    for r in qrows:
+        q = np.array(r["unit"], dtype=np.float64)
+        for s, book in enumerate(codebooks):
+            qs = q[s * d_sub : (s + 1) * d_sub]
+            for c, cent in enumerate(book):
+                lut_rows.append(
+                    (int(r[id_col]), s, c, float(np.dot(qs, np.array(cent))))
+                )
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, code int, part double"
+    )
+    scored = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 8).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    uni.unpersist()
+    return out

@@ -375,6 +375,82 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def emb_pq_topk_sql(
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    dim: int = 64,
+) -> str:
+    """query_id, neighbor_id, adc, rank — mirrors
+    operators.similarity.pq_topk(init='min_id', iters=0): codebooks are
+    the subvector slices of the k_codes smallest ids' unit vectors,
+    per-subspace assignment is argmin L2 (key c·c − 2 x·c, ties → min
+    code), ADC = sum of the query's exact subvector·centroid dots."""
+    qlist = ", ".join(str(q) for q in query_ids)
+    d_sub = dim // m_sub
+    subs = ", ".join(f"({s})" for s in range(m_sub))
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+un AS MATERIALIZED (
+  SELECT vec_id, list_transform(e, x -> x / greatest(nrm, 1e-12)) AS unit FROM u
+),
+subs AS (SELECT * FROM (VALUES {subs}) AS t(sub)),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, unit
+  FROM (SELECT vec_id, unit FROM un ORDER BY vec_id LIMIT {k_codes})
+),
+books AS MATERIALIZED (
+  SELECT s.sub, seeds.code,
+         list_slice(seeds.unit, s.sub * {d_sub} + 1, (s.sub + 1) * {d_sub}) AS cv
+  FROM seeds CROSS JOIN subs s
+),
+sv AS MATERIALIZED (
+  SELECT un.vec_id, s.sub,
+         list_slice(un.unit, s.sub * {d_sub} + 1, (s.sub + 1) * {d_sub}) AS sv
+  FROM un CROSS JOIN subs s
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, b.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_inner_product(b.cv, b.cv)
+                      - 2 * list_inner_product(sv.sv, b.cv) ASC, b.code ASC
+           ) AS rk
+    FROM sv JOIN books b ON b.sub = sv.sub
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT qs.vec_id AS query_id, qs.sub, b.code,
+         list_inner_product(qs.sv, b.cv) AS part
+  FROM sv qs JOIN books b ON b.sub = qs.sub
+  WHERE qs.vec_id IN ({qlist})
+),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, sum(part) AS adc_raw
+  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  -- rank on the ROUNDED value: the Spark side rounds adc before its
+  -- window, so near-ties that collide at 8 dp must fall back to the
+  -- neighbor_id tie-break on both engines identically
+  SELECT query_id, neighbor_id, round(adc_raw, 8) AS adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(adc_raw, 8) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _cc_unroll_ctes(pairs_cte: str, sym_cte: str, lbl_prefix: str, cc_rounds: int) -> str:
     """Unrolled min-label CC over a pair CTE — shared by the two cascade
     twins. AS MATERIALIZED is load-bearing: each round references the
