@@ -658,3 +658,102 @@ def pq_topk(
     assigned.unpersist()
     uni.unpersist()
     return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact re-rank — the production ANN composition
+    (Jégou et al. 2011 §VI; every large-scale vector index is this
+    shape): → (query_id, neighbor_id, cosine, rank), cosine EXACT.
+
+    Three stages, each already bounded:
+    1. coarse probe — queries visit their ``nprobe`` nearest IVF lists,
+       so only corpus/|C|·nprobe vectors are candidates;
+    2. ADC shortlist — candidates score as m_sub LUT lookups over their
+       PQ codes (ints only, no vectors move), top ``rerank``·k survive;
+    3. exact re-rank — the shortlist (rerank·k rows per query) joins its
+       full unit vectors back for exact cosine, restoring the fine
+       ordering ADC blurs (tested: recall@k ≥ the PQ-shortlist recall).
+
+    The 100 TB shape: stage 2's shuffle is (neighbor, sub, code) ints of
+    the PROBED lists only; stage 3 touches rerank·k·|Q| vectors — the
+    corpus's float payload is read exactly once (encode time), never at
+    query time outside the shortlist."""
+    import numpy as np
+
+    cents = np.array(
+        ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    codebooks = pq_train(
+        embeddings, m_sub=m_sub, k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
+    d_sub = _pq_dim(uni, m_sub) // m_sub
+    coarse = _assign_centroid(uni, cents, id_col=id_col).select(id_col, "cid")
+    codes = _pq_assign(_pq_subvectors(uni, id_col, m_sub, d_sub), codebooks, id_col)
+    corpus = codes.join(coarse, id_col).persist()
+    corpus.count()
+
+    qrows = uni.filter(F.col(id_col).isin(query_ids)).collect()
+    lut_rows, probe_rows = [], []
+    for r in qrows:
+        q = np.array(r["unit"], dtype=np.float64)
+        for cid in np.argsort(-(cents @ q))[:nprobe]:
+            probe_rows.append((int(r[id_col]), int(cid)))
+        for s, book in enumerate(codebooks):
+            qs = q[s * d_sub : (s + 1) * d_sub]
+            for c, cent in enumerate(book):
+                lut_rows.append((int(r[id_col]), s, c, float(np.dot(qs, np.array(cent)))))
+    spark = embeddings.sparkSession
+    lut = spark.createDataFrame(lut_rows, "query_id long, sub int, code int, part double")
+    probes = spark.createDataFrame(probe_rows, "query_id long, cid int")
+
+    shortlist = (
+        corpus.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc"))
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = shortlist.withColumn("srank", F.row_number().over(ws)).filter(
+        F.col("srank") <= rerank * k
+    )
+    queries = spark.createDataFrame(
+        [(int(r[id_col]), [float(x) for x in r["unit"]]) for r in qrows],
+        "query_id long, qu array<double>",
+    )
+    exact = (
+        short.join(uni.select(F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu")), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "neighbor_id", F.round(_dot("qu", "cu"), 8).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .localCheckpoint(eager=True)
+    )
+    corpus.unpersist()
+    uni.unpersist()
+    return out

@@ -138,3 +138,35 @@ def test_validation(emb):
         pq_train(emb, m_sub=7, k_codes=4, iters=0)
     with pytest.raises(ValueError, match="k_codes"):
         pq_train(emb, m_sub=4, k_codes=0, iters=0)
+
+
+def test_ivfpq_recall_and_exact_scores(spark):
+    """The full IVF-PQ + re-rank composition: exact cosines in the output
+    (re-rank restores ADC-blurred fine order) and recall at least at the
+    probed-fraction level on clustered data."""
+    from pagerank_optimization_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 64))
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + 0.15 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_topk(emb, QUERIES, k=K).collect()
+    got = ivfpq_topk(
+        emb, QUERIES, k=K, n_centroids=6, nprobe=2, m_sub=8, k_codes=16,
+        iters=2, rerank=3,
+    ).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    recalls = []
+    for q in QUERIES:
+        e = {r["neighbor_id"] for r in exact if r["query_id"] == q}
+        a = {r["neighbor_id"] for r in got if r["query_id"] == q}
+        recalls.append(len(e & a) / K)
+    assert np.mean(recalls) >= 0.6, f"IVF-PQ recall: {recalls}"
+    # output cosines are EXACT: every overlap matches the brute-force value
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cosine"] - ex[key]) < 1e-9
