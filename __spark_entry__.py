@@ -157,6 +157,15 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(vertices, wedges)
 
 
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Israeli-Itai maximal matching — the edge analog of graph_mis;
+    deterministic handshake priorities, round-for-round twin replay."""
+    from pagerank_optimization_spark.operators.matching import maximal_matching
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return maximal_matching(vertices, wedges)
+
+
 def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 4-cycle (butterfly) count — the diagonal-codegree identity,
     exact on the hub-filtered (deg ≤ 1000; no sf vertex exceeds it, so the
@@ -1248,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_triangles,
         "graph_butterflies": _q_butterflies,
         "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
@@ -1358,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": osql.triangle_query_sql(),
         "graph_butterflies": osql.butterfly_query_sql(max_degree=1000),
         "graph_mis": osql.mis_query_sql(rounds=12),
+        "graph_matching": osql.matching_query_sql(rounds=12),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),

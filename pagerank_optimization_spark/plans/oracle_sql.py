@@ -339,6 +339,62 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def matching_query_sql(rounds: int = 12, salt: str = "mm", dialect: str = "duckdb") -> str:
+    """a, b, round — twin of operators.matching.maximal_matching:
+    Israeli–Itai handshake rounds unrolled, edge priority key =
+    lpad(H48('{salt}:{t}:a|b'), 15, '0') || '|' || a || '|' || b (the
+    Spark side's exact varchar construction); an edge matches iff it is
+    the min-key incident edge of BOTH endpoints. Convergence sentinel:
+    a bogus row appears if round ``rounds`` left edges undecided."""
+    m = _mat(dialect)
+    steps = [
+        f"""m0 AS {m}(
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""
+    ]
+    for t in range(rounds):
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('{salt}:{t}:', a, '|', b)), 1, 12))"
+            " AS BIGINT)"
+        )
+        steps.append(f"""
+e{t} AS {m}(
+  SELECT a, b,
+         lpad(CAST({h} AS VARCHAR), 15, '0') || '|' || a || '|' || b AS k
+  FROM m{t}
+),
+vm{t} AS {m}(
+  SELECT v, min(k) AS mk FROM (
+    SELECT a AS v, k FROM e{t} UNION ALL SELECT b AS v, k FROM e{t}
+  ) GROUP BY v
+),
+sel{t} AS {m}(
+  SELECT e.a, e.b
+  FROM e{t} e
+  JOIN vm{t} va ON va.v = e.a
+  JOIN vm{t} vb ON vb.v = e.b
+  WHERE e.k = va.mk AND e.k = vb.mk
+),
+mv{t} AS {m}(
+  SELECT a AS v FROM sel{t} UNION SELECT b AS v FROM sel{t}
+),
+m{t + 1} AS {m}(
+  SELECT a, b FROM m{t}
+  WHERE a NOT IN (SELECT v FROM mv{t}) AND b NOT IN (SELECT v FROM mv{t})
+)""")
+    body = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, {t} AS round FROM sel{t}" for t in range(rounds)
+    )
+    return (
+        f"WITH {graph_ctes(dialect)},\n{body}\n{union}\n"
+        "UNION ALL\n"
+        "SELECT '!matching-not-converged' AS a, '' AS b, -1 AS round "
+        f"WHERE (SELECT count(*) FROM m{rounds}) > 0"
+    )
+
+
 def mis_query_sql(rounds: int = 12, salt: str = "mis", dialect: str = "duckdb") -> str:
     """entity, in_mis, round — twin of
     operators.mis.maximal_independent_set: Luby rounds unrolled, priority
