@@ -157,6 +157,15 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(vertices, wedges)
 
 
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph coloring by iterated Luby MIS — each color
+    class replayed round-for-round by the composed unrolled twin."""
+    from pagerank_optimization_spark.operators.coloring import luby_coloring
+
+    vertices, wedges = _graph(spark, sf_dir)
+    return luby_coloring(vertices, wedges)
+
+
 def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Israeli-Itai maximal matching — the edge analog of graph_mis;
     deterministic handshake priorities, round-for-round twin replay."""
@@ -1258,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": _q_butterflies,
         "graph_mis": _q_mis,
         "graph_matching": _q_matching,
+        "graph_coloring": _q_coloring,
         "graph_triangles_deg": _q_triangles_deg,
         "graph_clustering": _q_clustering,
         "graph_lpa_r4": _q_lpa_r4,
@@ -1369,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_butterflies": osql.butterfly_query_sql(max_degree=1000),
         "graph_mis": osql.mis_query_sql(rounds=12),
         "graph_matching": osql.matching_query_sql(rounds=12),
+        "graph_coloring": osql.coloring_query_sql(colors=4, mis_rounds=12),
         "graph_triangles_deg": osql.triangle_query_sql(),
         "graph_clustering": osql.clustering_query_sql(),
         "graph_lpa_r4": osql.lpa_query_sql(rounds=4),

@@ -339,6 +339,111 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def _mis_unroll_ctes(
+    vcte: str, scte: str, prefix: str, salt: str, rounds: int, m: str
+) -> tuple[list[str], str, str]:
+    """Luby-MIS round unroll over (vcte: entity, scte: a/b symmetric
+    pairs), all CTE names ``prefix``-namespaced. Returns (ctes,
+    members_cte, residual_vertices_cte): members = the selected MIS,
+    residual = u{rounds} (nonempty ⇒ not converged — caller adds the
+    sentinel). Shared by mis_query_sql and coloring_query_sql so the
+    round construction can never drift between the two twins."""
+    p = prefix
+    steps = [
+        f"{p}u0 AS {m}(SELECT entity FROM {vcte})",
+        f"{p}s0 AS {m}(SELECT a, b FROM {scte})",
+    ]
+    for t in range(rounds):
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('{salt}:{t}:', entity)), 1, 12))"
+            " AS BIGINT)"
+        )
+        steps.append(f"""
+{p}p{t} AS {m}(
+  SELECT entity, lpad(CAST({h} AS VARCHAR), 15, '0') || '|' || entity AS k
+  FROM {p}u{t}
+),
+{p}nm{t} AS {m}(
+  SELECT s.a AS entity, min(p.k) AS nk
+  FROM {p}s{t} s JOIN {p}p{t} p ON s.b = p.entity
+  GROUP BY s.a
+),
+{p}sel{t} AS {m}(
+  SELECT p.entity FROM {p}p{t} p LEFT JOIN {p}nm{t} n ON p.entity = n.entity
+  WHERE n.nk IS NULL OR p.k < n.nk
+),
+{p}kn{t} AS {m}(
+  SELECT DISTINCT s.a AS entity FROM {p}s{t} s JOIN {p}sel{t} x ON s.b = x.entity
+  WHERE s.a NOT IN (SELECT entity FROM {p}sel{t})
+),
+{p}u{t + 1} AS {m}(
+  SELECT entity FROM {p}u{t}
+  WHERE entity NOT IN (SELECT entity FROM {p}sel{t})
+    AND entity NOT IN (SELECT entity FROM {p}kn{t})
+),
+{p}s{t + 1} AS {m}(
+  SELECT a, b FROM {p}s{t}
+  WHERE a IN (SELECT entity FROM {p}u{t + 1}) AND b IN (SELECT entity FROM {p}u{t + 1})
+)""")
+    members = "\nUNION ALL\n".join(
+        f"SELECT entity FROM {p}sel{t}" for t in range(rounds)
+    )
+    steps.append(f"{p}mem AS {m}({members})")
+    return steps, f"{p}mem", f"{p}u{rounds}"
+
+
+def coloring_query_sql(
+    colors: int = 4,
+    mis_rounds: int = 12,
+    salt: str = "col",
+    dialect: str = "duckdb",
+) -> str:
+    """entity, color — twin of operators.coloring.luby_coloring: color
+    class c is the Luby MIS (salt '{salt}:{c}') of the residual graph,
+    each class unrolled via the shared _mis_unroll_ctes. Sentinels fire
+    if any class's MIS failed to converge in ``mis_rounds`` OR vertices
+    remain uncolored after ``colors`` classes."""
+    m = _mat(dialect)
+    steps = [
+        f"""rs0 AS {m}(
+  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM edges WHERE src <> dst
+)""",
+        f"rv0 AS {m}(SELECT entity FROM vertices)",
+    ]
+    sentinels = []
+    for c in range(colors):
+        ctes, mem, resid = _mis_unroll_ctes(
+            f"rv{c}", f"rs{c}", f"c{c}_", f"{salt}:{c}", mis_rounds, m
+        )
+        steps += ctes
+        sentinels.append(
+            f"SELECT '!mis-not-converged' AS entity, -1 AS color "
+            f"WHERE (SELECT count(*) FROM {resid}) > 0"
+        )
+        steps.append(f"""
+rv{c + 1} AS {m}(
+  SELECT entity FROM rv{c} WHERE entity NOT IN (SELECT entity FROM {mem})
+),
+rs{c + 1} AS {m}(
+  SELECT a, b FROM rs{c}
+  WHERE a IN (SELECT entity FROM rv{c + 1}) AND b IN (SELECT entity FROM rv{c + 1})
+)""")
+    body = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT entity, {c} AS color FROM c{c}_mem" for c in range(colors)
+    )
+    tail = "\nUNION ALL\n".join(
+        sentinels
+        + [
+            "SELECT '!coloring-not-converged' AS entity, -1 AS color "
+            f"WHERE (SELECT count(*) FROM rv{colors}) > 0"
+        ]
+    )
+    return f"WITH {graph_ctes(dialect)},\n{body}\n{union}\nUNION ALL\n{tail}"
+
+
 def matching_query_sql(rounds: int = 12, salt: str = "mm", dialect: str = "duckdb") -> str:
     """a, b, round — twin of operators.matching.maximal_matching:
     Israeli–Itai handshake rounds unrolled, edge priority key =
@@ -404,45 +509,16 @@ def mis_query_sql(rounds: int = 12, salt: str = "mis", dialect: str = "duckdb") 
     left vertices undecided (the kcore sentinel pattern)."""
     m = _mat(dialect)
     steps = [
-        f"""s0 AS {m}(
+        f"""mis_sym AS {m}(
   SELECT src AS a, dst AS b FROM edges WHERE src <> dst
   UNION
   SELECT dst AS a, src AS b FROM edges WHERE src <> dst
-)""",
-        f"u0 AS {m}(SELECT entity FROM vertices)",
+)"""
     ]
-    for t in range(rounds):
-        h = (
-            f"CAST(concat('0x', substring(md5(concat('{salt}:{t}:', entity)), 1, 12))"
-            " AS BIGINT)"
-        )
-        steps.append(f"""
-p{t} AS {m}(
-  SELECT entity, lpad(CAST({h} AS VARCHAR), 15, '0') || '|' || entity AS k
-  FROM u{t}
-),
-nm{t} AS {m}(
-  SELECT s.a AS entity, min(p.k) AS nk
-  FROM s{t} s JOIN p{t} p ON s.b = p.entity
-  GROUP BY s.a
-),
-sel{t} AS {m}(
-  SELECT p.entity FROM p{t} p LEFT JOIN nm{t} n ON p.entity = n.entity
-  WHERE n.nk IS NULL OR p.k < n.nk
-),
-kn{t} AS {m}(
-  SELECT DISTINCT s.a AS entity FROM s{t} s JOIN sel{t} x ON s.b = x.entity
-  WHERE s.a NOT IN (SELECT entity FROM sel{t})
-),
-u{t + 1} AS {m}(
-  SELECT entity FROM u{t}
-  WHERE entity NOT IN (SELECT entity FROM sel{t})
-    AND entity NOT IN (SELECT entity FROM kn{t})
-),
-s{t + 1} AS {m}(
-  SELECT a, b FROM s{t}
-  WHERE a IN (SELECT entity FROM u{t + 1}) AND b IN (SELECT entity FROM u{t + 1})
-)""")
+    # round construction comes from the SHARED unroll helper (prefix ""),
+    # so this twin and coloring_query_sql can never drift
+    ctes, _mem, _resid = _mis_unroll_ctes("vertices", "mis_sym", "", salt, rounds, m)
+    steps += ctes
     body = ",\n".join(steps)
     union = "\nUNION ALL\n".join(
         f"SELECT entity, true AS in_mis, {t} AS round FROM sel{t}\n"
