@@ -173,6 +173,18 @@ def connected_components(
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides —
+    # re-bucket the cached edge list once when the data-sized count is
+    # smaller (a |E|-row reshuffle of cached rows)
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    p_eff = effective_partitions(partitions, n_sym)
+    if p_eff != partitions:
+        wide = sym
+        sym = wide.repartition(p_eff, "b").persist()
+        sym.count()
+        wide.unpersist()
+        partitions = p_eff
     gather, pinned = prepare_gather(sym, partitions, hub_split)
     # pigeonhole gate: with |V| ≤ the salt bound no label CAN exceed it, so
     # the per-round hot-label detection would be pure overhead — skip it.
@@ -198,7 +210,7 @@ def connected_components(
     from pagerank_optimization_spark.session import iterative_conf
 
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for it in range(start_round, rounds):
             t0 = time.monotonic()
             if fixed_rounds is None:

@@ -48,6 +48,10 @@ def hits(
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     ev = edges.select("src", "dst")
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, ev.count())
     # one partitioning per gather direction, built once, reused every round
     by_src = ev.repartition(partitions, "src").persist()
     by_dst = ev.repartition(partitions, "dst").persist()
@@ -73,22 +77,27 @@ def hits(
             .groupBy(F.col(emit).alias("entity"))
             .agg(F.sum("score").alias("raw"))
         )
-        raw = raw.persist()
-        total = raw.agg(F.sum("raw")).collect()[0][0] or 0.0
-        scale = F.lit(1.0 / total) if total > 0 else F.lit(0.0)
+        # r6: normalization total as a broadcast one-row aggregate (the
+        # katz.py idiom) — one job per half-step, zero in-loop collects;
+        # same algebra (score = coalesce(raw,0) · (1/total), 0 if total ≤ 0)
+        total = raw.agg(F.coalesce(F.sum("raw"), F.lit(0.0)).alias("tot"))
+        scale = F.when(F.col("tot") > 0, F.lit(1.0) / F.col("tot")).otherwise(F.lit(0.0))
         out = (
             verts.join(raw, "entity", "left")
+            .crossJoin(F.broadcast(total))
             .select("entity", (F.coalesce(F.col("raw"), F.lit(0.0)) * scale).alias("score"))
             .localCheckpoint(eager=True)
         )
-        raw.unpersist()
         return out
 
-    for _ in range(k):
-        # superseded checkpoints are reclaimed by Spark's ContextCleaner
-        # once unreferenced (same contract as pagerank_csr.py:500)
-        auth = _half(hub, by_src, gather="src", emit="dst")
-        hub = _half(auth, by_dst, gather="dst", emit="src")
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(spark, shuffle_partitions=partitions):
+        for _ in range(k):
+            # superseded checkpoints are reclaimed by Spark's ContextCleaner
+            # once unreferenced (same contract as pagerank_csr.py:500)
+            auth = _half(hub, by_src, gather="src", emit="dst")
+            hub = _half(auth, by_dst, gather="dst", emit="src")
 
     result = (
         hub.withColumnRenamed("score", "hub")

@@ -64,6 +64,10 @@ def katz(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, edges.select("src", "dst").count())
     # one by-src partitioning, built once, reused every round
     by_src = edges.select("src", "dst").repartition(partitions, "src").persist()
     by_src.count()
@@ -75,23 +79,26 @@ def katz(
     # (hits.py:60-66: persist alone grows the logical tree one gather-join
     # per round and Catalyst re-analysis goes quadratic in k)
     x = verts.select("entity", F.lit(float(beta)).alias("katz")).localCheckpoint(eager=True)
-    for _ in range(k):
-        contrib = (
-            by_src.join(x.withColumnRenamed("entity", "src"), "src")
-            .groupBy(F.col("dst").alias("entity"))
-            .agg(F.sum("katz").alias("contrib"))
-        )
-        x = (
-            verts.join(contrib, "entity", "left")
-            .select(
-                "entity",
-                (
-                    F.lit(float(beta))
-                    + F.lit(float(alpha)) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("katz"),
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(vertices.sparkSession, shuffle_partitions=partitions):
+        for _ in range(k):
+            contrib = (
+                by_src.join(x.withColumnRenamed("entity", "src"), "src")
+                .groupBy(F.col("dst").alias("entity"))
+                .agg(F.sum("katz").alias("contrib"))
             )
-            .localCheckpoint(eager=True)
-        )
+            x = (
+                verts.join(contrib, "entity", "left")
+                .select(
+                    "entity",
+                    (
+                        F.lit(float(beta))
+                        + F.lit(float(alpha)) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("katz"),
+                )
+                .localCheckpoint(eager=True)
+            )
 
     # final L1 normalization as a broadcast one-row aggregate — no collect;
     # the total is ≥ n·β > 0 by construction, so no zero guard is needed

@@ -47,7 +47,12 @@ def kcore(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
-    sym = symmetrize(edges).repartition(partitions, "a").persist()
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, sym.count())
+    sym = sym.repartition(partitions, "a").persist()
     sym.count()
 
     # eager localCheckpoint per round, not persist: the per-round plan
@@ -59,7 +64,10 @@ def kcore(
     n_alive = alive.count()
     metrics: list[dict] = []
 
-    for rnd in range(max_rounds):
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(vertices.sparkSession, shuffle_partitions=partitions):
+      for rnd in range(max_rounds):
         t0 = time.monotonic()
         # induced-subgraph degree: both endpoints must be alive
         deg = (
@@ -118,7 +126,12 @@ def coreness(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
-    sym = symmetrize(edges).repartition(partitions, "a").persist()
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, sym.count())
+    sym = sym.repartition(partitions, "a").persist()
     sym.count()
 
     alive = (
@@ -129,7 +142,10 @@ def coreness(
     n_alive = alive.count()
     assigned: list[DataFrame] = []
 
-    for k in range(1, max_k + 1):
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(vertices.sparkSession, shuffle_partitions=partitions):
+      for k in range(1, max_k + 1):
         if n_alive == 0:
             break
         # peel at k to fixpoint within the current survivor set

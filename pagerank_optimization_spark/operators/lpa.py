@@ -50,6 +50,16 @@ def label_propagation(
     partitions = partitions or spark.sparkContext.defaultParallelism
     sym = symmetrize(edges).repartition(partitions, "b").persist()
     n_sym = sym.count()
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    p_eff = effective_partitions(partitions, n_sym)
+    if p_eff != partitions:
+        wide = sym
+        sym = wide.repartition(p_eff, "b").persist()
+        sym.count()
+        wide.unpersist()
+        partitions = p_eff
     gather, pinned = prepare_gather(sym, partitions, hub_split)
 
     start_round = 0
@@ -64,7 +74,7 @@ def label_propagation(
 
     from pagerank_optimization_spark.session import iterative_conf
 
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for it in range(start_round, rounds):
             t0 = time.monotonic()
             # gather neighbor labels, count per (vertex, label), pick argmax with

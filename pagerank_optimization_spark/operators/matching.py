@@ -53,14 +53,18 @@ def maximal_matching(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .repartition(partitions, "a")
         .localCheckpoint(eager=True)
     )
     n_pool = pool.count()
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, n_pool)
+    pool = pool.repartition(partitions, "a").localCheckpoint(eager=True)
     matched: list[DataFrame] = []
     from pagerank_optimization_spark.session import iterative_conf
 
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for t in range(max_rounds):
             if n_pool == 0:
                 break

@@ -60,9 +60,13 @@ def maximal_independent_set(
             )
         )
         .distinct()
-        .repartition(partitions, "a")
         .localCheckpoint(eager=True)
     )
+    # scale-adaptive round width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, sym.count())
+    sym = sym.repartition(partitions, "a").localCheckpoint(eager=True)
     undecided = (
         vertices.select("entity").repartition(partitions, "entity")
         .localCheckpoint(eager=True)
@@ -72,7 +76,7 @@ def maximal_independent_set(
     decided: list[DataFrame] = []
     from pagerank_optimization_spark.session import iterative_conf
 
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for t in range(max_rounds):
             if n_undecided == 0:
                 break
@@ -103,30 +107,30 @@ def maximal_independent_set(
                 .groupBy("a")
                 .agg(F.min("k").alias("nk"))
             )
+            # r6: winners and their knocked-out neighbors land in ONE
+            # checkpointed frame per round (was two eager checkpoints =
+            # two jobs; the winner subtree appears in both branches of the
+            # union and its aggregation exchange is reused within the one
+            # job). Round job count: 5 → 3.
             sel = (
                 pri.join(nbr_min.withColumnRenamed("a", "entity"), "entity", "left")
                 .filter(F.col("nk").isNull() | (F.col("k") < F.col("nk")))
                 .select("entity")
-                .localCheckpoint(eager=True)
             )
             knocked = (
                 sym.join(sel.withColumnRenamed("entity", "b"), "b", "left_semi")
                 .select(F.col("a").alias("entity"))
                 .distinct()
                 .join(sel, "entity", "left_anti")
+            )
+            decided_t = (
+                sel.select("entity", F.lit(True).alias("in_mis"))
+                .unionByName(knocked.select("entity", F.lit(False).alias("in_mis")))
                 .localCheckpoint(eager=True)
             )
-            decided.append(
-                sel.select("entity", F.lit(True).alias("in_mis"), F.lit(t).alias("round"))
-            )
-            decided.append(
-                knocked.select(
-                    "entity", F.lit(False).alias("in_mis"), F.lit(t).alias("round")
-                )
-            )
-            gone = sel.unionByName(knocked.select("entity"))
+            decided.append(decided_t.select("entity", "in_mis", F.lit(t).alias("round")))
             undecided = (
-                undecided.join(gone, "entity", "left_anti")
+                undecided.join(decided_t, "entity", "left_anti")
                 .repartition(partitions, "entity")
                 .localCheckpoint(eager=True)
             )

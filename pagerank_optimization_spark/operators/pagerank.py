@@ -173,7 +173,9 @@ def _iterate(
 
     from pagerank_optimization_spark.session import iterative_conf
 
-    with iterative_conf(vertices.sparkSession):
+    # shuffle width aligned with the canonical layout (r6): the in-loop
+    # groupBy(dst) then lands directly on the rank vector's partitioning
+    with iterative_conf(vertices.sparkSession, shuffle_partitions=partitions):
         for it in range(start_iter, k):
             t0 = time.monotonic()
             contribs = step_fn(ranks.select(id_col, "pr"))
@@ -412,6 +414,23 @@ def pagerank(
         edges = edges.repartition(partitions, "src", "ssalt").persist()
     else:
         edges = edges.repartition(partitions, "src").persist()
+    nnz = edges.count()
+    # scale-adaptive loop width (r6, guide §2.2): the caller's value is the
+    # cluster-sized CAP; the loop runs at what |E| needs. When the cap wins
+    # (big graph) nothing changes; when the data is small, re-bucket the
+    # already-cached edge list once (a |E|-row reshuffle of cached rows)
+    # and every superstep stage drops from `partitions` tasks to the
+    # data-sized count.
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    p_eff = effective_partitions(partitions, nnz)
+    if p_eff != partitions:
+        wide = edges
+        keys = ("src", "ssalt") if src_split_hubs is not None else ("src",)
+        edges = wide.repartition(p_eff, *keys).persist()
+        edges.count()
+        wide.unpersist()
+        partitions = p_eff
     # vertices co-partitioned with the canonical rank layout: the
     # per-superstep left join (restore zero-contribution vertices, P2 of
     # SURVEY §2.2) then never re-shuffles the vertex side
@@ -420,7 +439,6 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty vertex set (no entities derivable from input)")
     dangling = _dangling_of(vertices, edges, id_col).persist()
-    nnz = edges.count()
 
     if reset is not None:
         # restrict to known vertices, then normalize — teleport weight on

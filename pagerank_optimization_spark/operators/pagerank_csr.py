@@ -19,34 +19,38 @@ so each superstep is ONE job with ONE routing shuffle:
   tuned_variant_csr.c:179-229 with a fixed total order, so a rebuilt
   block is bit-identical regardless of shuffle arrival order), indptr
   over the dst runs, sources localized to dense gather slots;
-- a static ``routes`` table (vid → bucket, slot, tag) carries BOTH the
-  gather routes (tag=1: src rank → every bucket its out-edges feed) and
-  the identity routes (tag=0: each vertex's own rank → its home bucket,
-  for the delta and the base term). Blocks + routes are the
-  DISTRIBUTE_DATA moment (tuned_variant_baseline.c:247-324);
-- per superstep the rank vector joins routes (exchange-free: both sides
-  hash-partitioned on vid) and is cogrouped with the blocks; INSIDE the
-  Arrow batch the kernel does the whole update: gather x[src_idx]
-  (numpy fancy indexing — the i32gather analog for a full batch), CSR
-  segment sum via np.add.reduceat (tuned_variant_csr.c:74-84), scatter
-  to the dense bucket slice, damping + teleport/personalized base,
-  |new−old| per vertex and the bucket's dangling rank mass;
-- the cogroup output (vid, pr, abs_delta, dang_pr) is the ENTIRE
-  superstep state: new ranks are a projection of its checkpoint, the L1
-  delta and next dangling mass are one scalar agg over the same
-  checkpoint — no join against the previous rank vector, no join
-  against a flagged vertex table, no second aggregation shuffle.
+- in SCALE mode a static ``routes`` table (vid → bucket, slot, tag)
+  carries BOTH the gather routes (tag=1: src rank → every bucket its
+  out-edges feed) and the identity routes (tag=0: each vertex's own rank
+  → its home bucket, for the delta and the base term). Blocks (+ routes
+  when built) are the DISTRIBUTE_DATA moment
+  (tuned_variant_baseline.c:247-324);
+- per superstep the kernel does the whole update INSIDE the Arrow batch:
+  gather x by source (numpy fancy indexing — the i32gather analog for a
+  full batch), CSR segment sum via np.add.reduceat
+  (tuned_variant_csr.c:74-84), scatter to the dense bucket slice,
+  damping + teleport/personalized base, |new−old| per vertex and the
+  bucket's dangling rank mass;
+- the kernel output (vid, pr, abs_delta, dang_pr) is the ENTIRE
+  superstep state: new ranks, the L1 delta and next dangling mass all
+  come out of the one kernel pass — no join against the previous rank
+  vector, no join against a flagged vertex table, no second aggregation
+  shuffle.
 
-Per-superstep plan, frontier-broadcast mode (n ≤ BROADCAST_ROW_LIMIT):
-broadcast ranks ⋈ bucket-partitioned routes (BHJ preserves the bucket
-partitioning) → Arrow kernel cogroup → checkpoint + scalar agg — ZERO
-shuffle exchanges per superstep. Scale mode (large n): ranks merge-join
-the vid-partitioned routes, the routed frontier exchanges into its dst
-buckets — the frontier-sized shuffles a distributed PageRank
-fundamentally pays, never a full-vector broadcast. The join-agg kernel
-runs three joins and two aggregations through the JVM per superstep; at
-scale both are shuffle-bound by the frontier, and the CSR path does its
-math vectorized.
+Per-superstep plan, frontier-broadcast mode (n ≤ BROADCAST_ROW_LIMIT, r6
+form): the driver-held rank vector crosses as ONE ``sc.broadcast`` numpy
+array and the superstep is a single ``mapInArrow`` over the static
+cached blocks⊕aux table — no routes table, no join, no cogroup, ZERO
+shuffle exchanges (plan: InMemoryScan → MapInArrow → ArrowCollect; the
+round-≤5 LocalRelation + broadcast-join + cogroup form measured 368 ms
+per superstep at sf0.1, 165 ms of it the per-superstep LocalRelation
+build — the map form runs ~160 ms). Scale mode (large n): ranks
+merge-join the vid-partitioned routes, the routed frontier exchanges
+into its dst buckets — the frontier-sized shuffles a distributed
+PageRank fundamentally pays, never a full-vector broadcast. The
+join-agg kernel runs three joins and two aggregations through the JVM
+per superstep; at scale both are shuffle-bound by the frontier, and the
+CSR path does its math vectorized.
 
 Scale-mode history: with the round-≤3 ``applyInPandas`` kernel the routed
 frontier's pandas materialization dominated (measured 3.3× BEHIND
@@ -90,6 +94,11 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("n_src", T.LongType(), False),        # local gather slots
         T.StructField("src_idx", T.BinaryType(), False),    # int64 local gather index
+        T.StructField("src_vids", T.BinaryType(), False),   # int64 GLOBAL vids of the
+                                                            # distinct sources (ascending —
+                                                            # the np.unique slot order); the
+                                                            # broadcast-frontier kernel
+                                                            # gathers pr[src_vids] directly
         T.StructField("indptr", T.BinaryType(), False),     # int64 CSR offsets
         T.StructField("dst_local", T.BinaryType(), False),  # int64 bucket offsets of dsts
         T.StructField("weight", T.BinaryType(), False),     # float64 edge weights
@@ -183,6 +192,72 @@ def _make_arrow_kernel(n_: int, P: int, d_: float, dm: float):
     return fused_arrow
 
 
+def _make_arrow_map_kernel(n_: int, P: int, d_: float, dm: float, bc):
+    """Broadcast-frontier superstep as ONE ``mapInArrow`` over the static
+    blocks⊕aux table (r6 restructure). The round-≤5 form broadcast-JOINED a
+    per-superstep LocalRelation of the rank vector onto a routes table and
+    cogrouped — measured at sf0.1 the LocalRelation build alone was 165 ms
+    of the 368 ms superstep, all of it spent re-shipping and re-planning
+    data the driver already held. Here the frontier crosses once per
+    superstep as an ``sc.broadcast`` numpy array (bounded: this mode is
+    gated on n ≤ BROADCAST_ROW_LIMIT), the kernel gathers pr[src_vids]
+    directly by GLOBAL vid, and the old rank for the delta is pr[b::P] —
+    no routes table, no join, no cogroup, no per-superstep exchange at
+    all. Math and float64 reduction order are IDENTICAL to the cogroup
+    form (same lexsorted edge order, same np.add.reduceat, same dense
+    bucket slices), so results are bitwise-unchanged."""
+    import pyarrow as pa
+
+    def fused_map(batches):
+        pr_all = bc.value
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            out_vid, out_pr, out_ad, out_dp = [], [], [], []
+            for i in range(tb.num_rows):
+                b = int(tb["bucket"][i].as_py())
+                m = _bucket_size(n_, b, P)
+                if m == 0:
+                    continue
+                old = pr_all[b::P]
+                acc = np.zeros(m, dtype=np.float64)
+                reset_arr = None
+                src_idx_buf = tb["src_idx"][i].as_py()
+                if src_idx_buf is not None:
+                    src_idx = np.frombuffer(src_idx_buf, dtype=np.int64)
+                    src_vids = np.frombuffer(tb["src_vids"][i].as_py(), dtype=np.int64)
+                    indptr = np.frombuffer(tb["indptr"][i].as_py(), dtype=np.int64)
+                    dst_local = np.frombuffer(tb["dst_local"][i].as_py(), dtype=np.int64)
+                    w = np.frombuffer(tb["weight"][i].as_py(), dtype=np.float64)
+                    x = pr_all[src_vids]
+                    contrib = w * x[src_idx]                   # gather+mul
+                    acc[dst_local] = np.add.reduceat(contrib, indptr[:-1])
+                mask = np.frombuffer(tb["dang_mask"][i].as_py(), dtype=np.uint8).astype(bool)
+                ra = tb["reset_arr"][i].as_py()
+                if ra is not None:
+                    reset_arr = np.frombuffer(ra, dtype=np.float64)
+                if reset_arr is not None:
+                    base = ((1.0 - d_) + d_ * dm) * reset_arr
+                else:
+                    base = (1.0 - d_) / n_ + d_ * dm / n_
+                new = base + d_ * acc
+                out_vid.append(b + P * np.arange(m, dtype=np.int64))
+                out_pr.append(new)
+                out_ad.append(np.abs(new - old))
+                out_dp.append(np.where(mask, new, 0.0))
+            if out_vid:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_vid)),
+                        pa.array(np.concatenate(out_pr)),
+                        pa.array(np.concatenate(out_ad)),
+                        pa.array(np.concatenate(out_dp)),
+                    ],
+                    names=["vid", "pr", "abs_delta", "dang_pr"],
+                )
+
+    return fused_map
+
+
 def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
     """Compile (src, dst, weight) vid-space edges into ≤P cached CSR blocks,
     bucketed by DESTINATION (dst % P) so per-superstep segment sums are
@@ -209,6 +284,7 @@ def build_csr_blocks(vid_edges: DataFrame, n_buckets: int) -> DataFrame:
                 "bucket": [b],
                 "n_src": [len(src_unique)],
                 "src_idx": [src_idx.astype(np.int64).tobytes()],
+                "src_vids": [src_unique.astype(np.int64).tobytes()],
                 "indptr": [indptr.tobytes()],
                 "dst_local": [((dst_unique - b) // P).tobytes()],
                 "weight": [w.tobytes()],
@@ -340,12 +416,13 @@ def _iterate_csr_fused(
     1e-12 differential) — only the physical fusion differs.
 
     ``broadcast_frontier=True`` (n ≤ BROADCAST_ROW_LIMIT): the rank
-    vector is broadcast-joined onto the bucket-partitioned routes, so a
-    superstep runs with ZERO shuffle exchanges — one Arrow cogroup stage
-    plus a scalar agg. ``False`` (scale mode): ranks merge-join the
-    vid-partitioned routes and the routed frontier exchanges into its
-    dst buckets — the frontier-sized shuffles a distributed PageRank
-    fundamentally pays; never a full-vector broadcast."""
+    vector crosses as one ``sc.broadcast`` numpy array and the superstep
+    is a single ``mapInArrow`` over the static blocks⊕aux cache — ZERO
+    shuffle exchanges, no join (see _make_arrow_map_kernel). ``False``
+    (scale mode): ranks merge-join the vid-partitioned routes and the
+    routed frontier exchanges into its dst buckets — the frontier-sized
+    shuffles a distributed PageRank fundamentally pays; never a
+    full-vector broadcast."""
     from pagerank_optimization_spark.operators.pagerank import PageRankResult
     from pagerank_optimization_spark.session import iterative_conf
 
@@ -354,14 +431,17 @@ def _iterate_csr_fused(
 
     if broadcast_frontier:
         # the frontier fits on the driver BY MODE DEFINITION (that is what
-        # made broadcasting it safe) — hold it as a vid-sorted pandas frame
-        # between supersteps. createDataFrame(local) is a LocalRelation, so
-        # the per-superstep broadcast build needs no collect job, and the
-        # loop-carried scalars reduce in a FIXED numpy order (vid-sorted —
-        # stronger FP determinism than a partial-agg merge).
+        # made broadcasting it safe) — hold it as a dense vid-indexed numpy
+        # array between supersteps (r6: was a pandas frame fed back through
+        # a per-superstep LocalRelation + broadcast join; now it crosses as
+        # one sc.broadcast per superstep — see _make_arrow_map_kernel). The
+        # loop-carried scalars still reduce in FIXED vid-sorted numpy order.
         if not isinstance(ranks0, pd.DataFrame):
             ranks0 = ranks0.toPandas()
-        ranks_pdf = ranks0.sort_values("vid", kind="mergesort", ignore_index=True)
+        pr_arr = np.zeros(int(n), dtype=np.float64)
+        pr_arr[ranks0["vid"].to_numpy(dtype=np.int64)] = ranks0["pr"].to_numpy(
+            dtype=np.float64
+        )
         ranks = None
     else:
         if isinstance(ranks0, pd.DataFrame):
@@ -374,29 +454,31 @@ def _iterate_csr_fused(
     metrics: list[dict[str, Any]] = []
     converged = False
 
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=P):
         for it in range(start_iter, k):
             t0 = time.monotonic()
-            fused_arrow = _make_arrow_kernel(int(n), P, float(damping), float(dangling_mass))
 
             if broadcast_frontier:
-                # LocalRelation broadcast (driver-held frontier, no collect
-                # job); BHJ keeps the routes' bucket partitioning → the
-                # cogroup needs NO exchange: the whole superstep is ONE job
-                ranks_df = spark.createDataFrame(ranks_pdf, "vid long, pr double")
-                routed = routes.join(F.broadcast(ranks_df), "vid")
-                state = (
-                    blocks_aux.groupBy("bucket")
-                    .cogroup(routed.select("bucket", "pos", "pr", "tag").groupBy("bucket"))
-                    .applyInArrow(fused_arrow, schema=STATE_SCHEMA)
+                # frontier → one sc.broadcast; superstep = ONE mapInArrow
+                # job over the static cached blocks⊕aux table — no join, no
+                # cogroup, no exchange (plan: InMemoryScan → MapInArrow →
+                # ArrowCollect). Scalars reduce vid-sorted as before.
+                bc = spark.sparkContext.broadcast(pr_arr)
+                fused_map = _make_arrow_map_kernel(
+                    int(n), P, float(damping), float(dangling_mass), bc
                 )
+                state = blocks_aux.mapInArrow(fused_map, schema=STATE_SCHEMA)
                 pdf = state.toPandas().sort_values(
                     "vid", kind="mergesort", ignore_index=True
                 )
                 delta = float(pdf["abs_delta"].to_numpy().sum())
                 next_dm = float(pdf["dang_pr"].to_numpy().sum())
-                ranks_pdf = pdf[["vid", "pr"]]
+                pr_arr = pdf["pr"].to_numpy(dtype=np.float64).copy()
+                bc.destroy()
             else:
+                fused_arrow = _make_arrow_kernel(
+                    int(n), P, float(damping), float(dangling_mass)
+                )
                 routed = routes.hint("merge").join(ranks, "vid")
                 state = (
                     blocks_aux.groupBy("bucket")
@@ -439,7 +521,14 @@ def _iterate_csr_fused(
             if checkpointer is not None:
                 if broadcast_frontier:
                     checkpointer.save(
-                        it, spark.createDataFrame(ranks_pdf, "vid long, pr double"), row
+                        it,
+                        spark.createDataFrame(
+                            pd.DataFrame(
+                                {"vid": np.arange(int(n), dtype=np.int64), "pr": pr_arr}
+                            ),
+                            "vid long, pr double",
+                        ),
+                        row,
                     )
                 else:
                     checkpointer.save(it, ranks, row)
@@ -449,7 +538,10 @@ def _iterate_csr_fused(
                 break
 
     if broadcast_frontier:
-        ranks = spark.createDataFrame(ranks_pdf, "vid long, pr double")
+        ranks = spark.createDataFrame(
+            pd.DataFrame({"vid": np.arange(int(n), dtype=np.int64), "pr": pr_arr}),
+            "vid long, pr double",
+        )
     return PageRankResult(
         ranks=ranks,
         iterations=len(deltas) + start_iter,
@@ -519,6 +611,16 @@ def _compile(
     )
     nnz = vid_edges.count()
 
+    # scale-adaptive bucket count (r6, guide §2.2): the caller's
+    # ``partitions`` is the cluster-sized cap; the compiled layout uses
+    # what |E| needs. Small graphs get a few big CSR blocks (less
+    # per-superstep task scheduling, longer numpy vectors — strictly
+    # better on both axes); big graphs keep the caller's parallelism.
+    # Deterministic per graph, so a resumed run recompiles identically.
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, max(nnz, n))
+
     vids = ids.select("vid")
     dangling_vids = vids.join(
         vid_edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
@@ -542,9 +644,15 @@ def _compile(
     blocks_aux = (
         aux.join(blocks, "bucket", "left").repartition(partitions, "bucket").persist()
     )
-    routes = build_routes(
-        vid_edges, vids, partitions, partitions, bucket_layout=broadcast_frontier
-    ).persist()
+    # routes only exist in SCALE mode (r6): the broadcast-frontier superstep
+    # gathers pr[src_vids] from the broadcast array inside the kernel, so
+    # the gather/identity routing table — and its setup window job — is
+    # gone entirely in that mode.
+    routes = None
+    if not broadcast_frontier:
+        routes = build_routes(
+            vid_edges, vids, partitions, partitions, bucket_layout=False
+        ).persist()
     # force the compiled layout NOW: DISTRIBUTE_DATA belongs to setup, not
     # to the first timed superstep (the reference's timer starts after
     # distribution, timer_op.c; join-agg's setup likewise materializes its
@@ -552,18 +660,21 @@ def _compile(
     # one-time compile inside superstep 0's wall at 4M vertices — same
     # total work, asymmetric attribution between kernels.
     blocks_aux.count()
-    routes.count()
+    if routes is not None:
+        routes.count()
 
     def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids)):
         # ids is localCheckpointed, not persisted: its blocks are freed by
         # the ContextCleaner once the evicted entry's references are GC'd
         for df in _frames:
-            df.unpersist()
+            if df is not None:
+                df.unpersist()
 
     ent = {
         "ids": ids,
         "n": n,
         "nnz": nnz,
+        "partitions": partitions,  # effective bucket count (≤ requested)
         "vids": vids,
         "vid_edges": vid_edges,
         "dangling_vids": dangling_vids,
@@ -626,6 +737,7 @@ def pagerank_csr(
     from pagerank_optimization_spark.operators.pagerank import PageRankResult
 
     ent = _compile(vertices, edges, id_col, partitions, broadcast_frontier)
+    partitions = ent["partitions"]  # effective bucket count (≤ requested)
     ids, n, nnz = ent["ids"], ent["n"], ent["nnz"]
     vids, vid_edges = ent["vids"], ent["vid_edges"]
     dangling_vids, n_dangling = ent["dangling_vids"], ent["n_dangling"]

@@ -52,6 +52,10 @@ def salsa(
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     ev = edges.select("src", "dst")
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, ev.count())
     # per-edge walk weights, computed once: a hub's forward vote splits
     # 1/outdeg(src); an authority's backward vote splits 1/indeg(dst)
     outdeg = ev.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
@@ -81,26 +85,35 @@ def salsa(
     auth: DataFrame | None = None
 
     def _half(scores: DataFrame, edge_part: DataFrame, gather: str, emit: str, w: str) -> DataFrame:
-        """gather degree-split scores over one direction, L1-normalize, densify."""
+        """gather degree-split scores over one direction, L1-normalize,
+        densify. r6: the normalization total rides the plan as a broadcast
+        one-row aggregate (the katz.py idiom) instead of a per-half-step
+        collect — ONE job per half-step (the eager checkpoint) instead of
+        two, zero driver round-trips inside the loop. The raw subtree
+        appears in both the agg and the join branch; its aggregation
+        exchange is identical in both and reused within the job. Same
+        algebra: score = coalesce(raw, 0) · (1/total), 0 when total ≤ 0."""
         raw = (
             edge_part.join(scores.withColumnRenamed("entity", gather), gather)
             .groupBy(F.col(emit).alias("entity"))
             .agg(F.sum(F.col("score") * F.col(w)).alias("raw"))
         )
-        raw = raw.persist()
-        total = raw.agg(F.sum("raw")).collect()[0][0] or 0.0
-        scale = F.lit(1.0 / total) if total > 0 else F.lit(0.0)
+        total = raw.agg(F.coalesce(F.sum("raw"), F.lit(0.0)).alias("tot"))
+        scale = F.when(F.col("tot") > 0, F.lit(1.0) / F.col("tot")).otherwise(F.lit(0.0))
         out = (
             verts.join(raw, "entity", "left")
+            .crossJoin(F.broadcast(total))
             .select("entity", (F.coalesce(F.col("raw"), F.lit(0.0)) * scale).alias("score"))
             .localCheckpoint(eager=True)
         )
-        raw.unpersist()
         return out
 
-    for _ in range(k):
-        auth = _half(hub, by_src, gather="src", emit="dst", w="w_fwd")
-        hub = _half(auth, by_dst, gather="dst", emit="src", w="w_bwd")
+    from pagerank_optimization_spark.session import iterative_conf
+
+    with iterative_conf(spark, shuffle_partitions=partitions):
+        for _ in range(k):
+            auth = _half(hub, by_src, gather="src", emit="dst", w="w_fwd")
+            hub = _half(auth, by_dst, gather="dst", emit="src", w="w_bwd")
 
     result = (
         hub.withColumnRenamed("score", "hub")

@@ -101,12 +101,15 @@ def strongly_connected_components(
     from pagerank_optimization_spark.session import iterative_conf
 
     active_v = vertices.select("entity").localCheckpoint(eager=True)
-    active_e = (
-        edges.select("src", "dst").repartition(partitions, "dst").localCheckpoint(eager=True)
-    )
+    active_e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+
+    partitions = effective_partitions(partitions, active_e.count())
+    active_e = active_e.repartition(partitions, "dst").localCheckpoint(eager=True)
     assigned: DataFrame | None = None
 
-    with iterative_conf(spark):
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for _outer in range(max_rounds):
             if active_v.limit(1).count() == 0:
                 break

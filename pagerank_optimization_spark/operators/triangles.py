@@ -18,6 +18,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _vid_und(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map a canonical undirected edge set (a, b) into dense integer vid
+    space (r6, guide §2.3 "narrower types"): the triangle/butterfly/truss
+    pair tables are O(Σ deg²) rows and their exchanges carry the vertex
+    pair on every row — 16 bytes of vids instead of two entity strings.
+    ``vertex_ids`` assigns vid = rank of entity in global sorted order, so
+    the mapping is ORDER-PRESERVING: a < b ⟺ vid(a) < vid(b), and both the
+    lexicographic and the degree orientation (ties by entity) survive the
+    translation bit-for-bit. → (edges(a, b) as longs with a < b, ids)."""
+    from pagerank_optimization_spark.operators.graph_build import vertex_ids
+
+    verts = (
+        und.select(F.col("a").alias("entity"))
+        .unionAll(und.select(F.col("b").alias("entity")))
+        .distinct()
+    )
+    ids = vertex_ids(verts)
+    ia = ids.select(F.col("entity").alias("a"), F.col("vid").alias("ia"))
+    ib = ids.select(F.col("entity").alias("b"), F.col("vid").alias("ib"))
+    und_i = (
+        und.join(ia, "a").join(ib, "b")
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    )
+    return und_i, ids
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: (a, b) with a < b, self-loops dropped,
     duplicates collapsed."""
@@ -57,11 +83,12 @@ def degree_oriented_edges(und: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(edges: DataFrame, *, degree_oriented: bool = True) -> DataFrame:
-    """→ (v0, v1, v2): each triangle EXACTLY ONCE as the unique 2-path
-    v0→v1→v2 plus closing edge v0→v2 under an acyclic orientation (an
-    acyclically oriented 3-cycle has exactly one length-2 directed path)."""
-    und = undirected_edges(edges)
+def _oriented_from_und(und: DataFrame, *, degree_oriented: bool = True) -> DataFrame:
+    """→ (v0, v1, v2) triangles of a canonical undirected edge set (a, b)
+    with a < b — each EXACTLY ONCE as the unique 2-path v0→v1→v2 plus
+    closing edge v0→v2 under an acyclic orientation (an acyclically
+    oriented 3-cycle has exactly one length-2 directed path). Key-type
+    agnostic: runs on entity strings or vids alike."""
     if degree_oriented:
         e = degree_oriented_edges(und)
     else:
@@ -73,11 +100,20 @@ def _oriented_triangles(edges: DataFrame, *, degree_oriented: bool = True) -> Da
     return two_paths.join(closing, ["v0", "v2"], "inner").select("v0", "v1", "v2")
 
 
+def _oriented_triangles(edges: DataFrame, *, degree_oriented: bool = True) -> DataFrame:
+    """→ (v0, v1, v2) triangles over entity keys. (r6 note: a vid-space
+    variant was measured SLOWER here at sf0.1 — the degree orientation
+    already bounds the 2-path fan-out, so the id-map build cost exceeded
+    the exchange-byte savings; ktruss amortizes one map over many peel
+    rounds and butterflies over an O(Σ deg²) wedge table, so those run in
+    vid space while the one-shot triangle pass stays on strings.)"""
+    return _oriented_from_und(undirected_edges(edges), degree_oriented=degree_oriented)
+
+
 def triangle_count(edges: DataFrame, *, degree_oriented: bool = True) -> DataFrame:
     """→ 1-row DataFrame(n_triangles long): global triangle count."""
-    return _oriented_triangles(edges, degree_oriented=degree_oriented).agg(
-        F.count("*").alias("n_triangles")
-    )
+    tri = _oriented_triangles(edges, degree_oriented=degree_oriented)
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 def clustering_coefficients(edges: DataFrame) -> DataFrame:
@@ -192,21 +228,25 @@ def ktruss(
     spark = edges.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
+    # r6: the whole peel runs in integer vid space (order-preserving map,
+    # _vid_und) — every per-round support exchange carries 16-byte pairs
+    # instead of entity strings — and the loop width is scale-adaptive
+    # (effective_partitions): the caller's value caps, |E| decides.
     # eager localCheckpoint per round, NOT persist: the per-round plan
     # references cur twice (directly and through the support aggregate) and
     # nests every prior round's lineage — without truncation Catalyst
     # re-analysis compounds per round (measured: 428s for a 550-edge graph
     # at sf0.001; 6s with the checkpoint). Same discipline as components.py.
-    cur = (
-        undirected_edges(edges)
-        .repartition(partitions, "a", "b")
-        .localCheckpoint(eager=True)
-    )
-    n_cur = cur.count()
-
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
     from pagerank_optimization_spark.session import iterative_conf
 
-    with iterative_conf(spark):
+    und_i, ids = _vid_und(undirected_edges(edges))
+    cur = und_i.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    partitions = effective_partitions(partitions, n_cur)
+    cur = cur.repartition(partitions, "a", "b").localCheckpoint(eager=True)
+
+    with iterative_conf(spark, shuffle_partitions=partitions):
         for _ in range(max_rounds):
             sup = _edge_support(cur, degree_oriented=degree_oriented)
             # inner join: an edge with NO support row has 0 triangles and
@@ -222,7 +262,14 @@ def ktruss(
             cur, n_cur = nxt, n_nxt
             if stable or n_cur == 0:
                 break
-    return cur
+    # one map back to entities at the end (vid order ≡ entity order, so the
+    # canonical a < b invariant survives the translation)
+    ia = ids.select(F.col("vid").alias("a"), F.col("entity").alias("ea"))
+    ib = ids.select(F.col("vid").alias("b"), F.col("entity").alias("eb"))
+    return (
+        cur.join(ia, "a").join(ib, "b")
+        .select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    )
 
 
 def butterfly_count(
@@ -263,11 +310,23 @@ def butterfly_count(
     → 1-row DataFrame(n_butterflies long, n_codeg2_pairs long) —
     n_codeg2_pairs = unordered vertex pairs with ≥ 2 common neighbors
     (the diagonal support set, a cohesion stat in its own right)."""
-    und = undirected_edges(edges)
+    # r6: the wedge table is Σ_c C(deg c, 2) rows (96.7M unfiltered at
+    # sf0.1) and its exchange is the entire cost of this operator — so (1)
+    # vertices map to integer vids first (16-byte pairs instead of two
+    # entity strings on every wedge row, _vid_und), and (2) wedges are
+    # generated from a per-center sorted adjacency ARRAY (one collect_list
+    # shuffle of 2|E| rows) by pure codegen explosion, instead of the old
+    # two-sided self-join that shuffled the neighbor table twice. The pair
+    # aggregation is map-side combinable, so duplicated (u, w) wedges
+    # collapse before the one remaining exchange.
+    und_s = undirected_edges(edges)
     if max_degree is not None:
         # persist: deg derives from und (2 refs via the union) and kept
         # re-reads und after the anti-joins — the rich_club lesson
-        und = und.persist()
+        und_s = und_s.persist()
+    und, ids = _vid_und(und_s)
+    if max_degree is not None:
+        und = und.localCheckpoint(eager=True)  # read by deg (2×) and kept
         deg = (
             und.select(F.col("a").alias("v"))
             .unionAll(und.select(F.col("b").alias("v")))
@@ -282,15 +341,21 @@ def butterfly_count(
             counters["hub_vertices_dropped"] = hubs.count()
             counters["hub_edges_dropped"] = und.count() - kept.count()
     else:
-        kept = und
-    kept = kept.persist()  # nbrs reads it twice (the union)
+        kept = und.localCheckpoint(eager=True)  # nbrs reads it twice
     nbrs = kept.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
         kept.select(F.col("b").alias("c"), F.col("a").alias("n"))
     )
+    adj = nbrs.groupBy("c").agg(F.sort_array(F.collect_list("n")).alias("ns"))
+    # all u < w pairs from the sorted array, no shuffle: (i, u) posexploded,
+    # w exploded from the strictly-after slice
     pairs = (
-        nbrs.select("c", F.col("n").alias("u"))
-        .join(nbrs.select("c", F.col("n").alias("w")), "c")
-        .filter(F.col("u") < F.col("w"))
+        adj.select(F.posexplode("ns").alias("i", "u"), "ns")
+        .select(
+            "u",
+            F.explode(
+                F.slice("ns", F.col("i") + 2, F.greatest(F.size("ns") - F.col("i") - 1, F.lit(0)))
+            ).alias("w"),
+        )
         .groupBy("u", "w")
         .agg(F.count("*").cast("long").alias("m"))
     )

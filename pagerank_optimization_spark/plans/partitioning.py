@@ -21,8 +21,36 @@ tested to 1e-12 against the unsalted kernel.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Scale-adaptive partition sizing (r6, guide §2.2 "fewer, larger reduce
+# partitions"): the caller's ``partitions`` is a CLUSTER-sized upper bound
+# (bench passes local core count; a cluster run passes executors × cores).
+# Using it unconditionally makes every stage of a tiny-graph superstep pay
+# a 32-task scheduling floor — at sf0.1 (54k edges) the per-superstep wall
+# is ~95% task/stage overhead (measured: compute region 0.75 s/superstep at
+# 32 partitions vs ~0.1 s at the data-sized count). The target is
+# parameterised (env) with a local default; at scale rows/target exceeds
+# the cap and the caller's value wins unchanged, so cluster behavior is
+# untouched.
+ROWS_PER_PARTITION = int(os.environ.get("SPARK_GRAFT_ROWS_PER_PARTITION", "65536"))
+
+
+def effective_partitions(
+    requested: int, rows: int | None, *, rows_per_partition: int | None = None
+) -> int:
+    """min(requested, ceil(rows / rows_per_partition)), floor 1: never MORE
+    tasks than the caller sized for the cluster, never more than the data
+    needs at ~rows_per_partition rows per task. ``rows=None`` (size
+    unknown) keeps the caller's value."""
+    if rows is None:
+        return max(1, requested)
+    rpp = rows_per_partition or ROWS_PER_PARTITION
+    need = max(1, -(-int(rows) // rpp))
+    return max(1, min(int(requested), need))
 
 
 def in_degrees(edges: DataFrame) -> DataFrame:

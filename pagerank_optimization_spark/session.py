@@ -15,19 +15,32 @@ from pyspark.sql import SparkSession
 
 
 @contextmanager
-def iterative_conf(spark: SparkSession):
+def iterative_conf(spark: SparkSession, shuffle_partitions: int | None = None):
     """Conf scope for fixed-shape iterative loops (PageRank/CC/LPA
     supersteps): AQE's per-stage adaptive re-planning is pure scheduling
     overhead when every superstep has the same plan over the same sizes —
     measured 2.2× per-superstep latency at local scale. Restored on exit;
-    one-shot analytical queries keep AQE (skew-join, coalescing)."""
+    one-shot analytical queries keep AQE (skew-join, coalescing).
+
+    ``shuffle_partitions``: align the loop's groupBy/join shuffle width
+    with the operator's (scale-adaptive) partition count — with AQE off
+    inside the loop nothing else coalesces the session-wide default, so a
+    tiny graph's every aggregation would still fan out
+    ``spark.sql.shuffle.partitions`` tasks AND mis-align with the
+    canonical state layout (an extra exchange per superstep). Restored on
+    exit."""
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, "true")
+    sprev = spark.conf.get(skey)
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(skey, str(int(shuffle_partitions)))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(skey, sprev)
 
 
 def get_spark(

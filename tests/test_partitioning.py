@@ -140,21 +140,33 @@ def test_text_column_pruned_from_graph_scan(spark, tmp_path):
     assert_column_pruned(turns, "text")
 
 
-def test_degree_join_broadcast_is_gated_not_forced(spark, graph):
-    """|V|-sized degree tables carry NO forced broadcast hint: Spark
-    broadcasts them when the measured size fits autoBroadcastJoinThreshold
-    and falls back to a shuffle join when it doesn't (a forced hint at
-    10^9 vertices is an executor OOM)."""
+def test_degree_normalization_plan(spark, graph):
+    """r6: the default weight normalization is a COUNT window over the src
+    partitioning — ONE exchange, NO degree join at all (so there is no
+    |V|-sized join side whose broadcast would need gating at 10^9
+    vertices). The explicit-outdeg form keeps the join, still without a
+    forced broadcast hint: Spark broadcasts it only when the measured
+    size fits autoBroadcastJoinThreshold."""
+    from pagerank_optimization_spark.operators.graph_build import (
+        build_edges,
+        normalize_edges,
+        out_degrees,
+    )
+
     _, wedges = graph
-    # default threshold (10MB): the tiny fixture degree table broadcasts
-    assert_broadcast_join(wedges)
-    # threshold off ⇒ no hint remains to force it ⇒ shuffle join
+    # default (window) path: no join of any kind in the weighted-edge plan
+    plan = wedges._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    # explicit-outdeg path: the join survives, gated not forced
+    transcripts = synthesize_transcripts(spark, 50, seed=13)
+    edges = build_edges(transcripts)
+    joined = normalize_edges(edges, out_degrees(edges))
+    assert_broadcast_join(joined)  # tiny fixture → measured size broadcasts
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        transcripts = synthesize_transcripts(spark, 50, seed=13)
-        _, wedges2 = build_graph(transcripts)
-        assert_no_broadcast_join(wedges2)
+        assert_no_broadcast_join(normalize_edges(edges, out_degrees(edges)))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
