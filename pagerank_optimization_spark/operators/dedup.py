@@ -69,11 +69,16 @@ def shingles(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)) - 1 + F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return (
-        documents.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.size(F.split(F.col("shingle"), " ")) == k)
-        .distinct()
+    # r6: per-document dedup happens INSIDE the gram array (array_distinct
+    # after the full-length filter) before the explode — same rows out as
+    # the old explode + global .distinct(), but the corpus-sized
+    # (doc, shingle) exchange that distinct needed is gone entirely; the
+    # first shuffle the shingle table pays is whatever its consumer keys on
+    # (guide §2.4).
+    grams = F.array_distinct(
+        F.filter(grams, lambda g: F.size(F.split(g, " ")) == k)
     )
+    return documents.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -96,17 +101,27 @@ def ngram_jaccard_pairs(
     — costs one extra aggregation job; bench-only, leave None in
     pipelines."""
     sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
-    # skew guard: drop boilerplate shingles with pathological fan-out
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # skew guard: drop boilerplate shingles with pathological fan-out.
+    # r6: the document frequency is a COUNT window over the shingle
+    # partitioning instead of a separate aggregate + semi-join — the one
+    # exchange it introduces is the SAME hash(shingle) exchange the
+    # self-join below needs, so both join sides read it back with no
+    # further shuffle (guide §2.4 "two operations keyed the same way share
+    # one exchange").
+    wsh = W.partitionBy("shingle")
+    shc = sh.withColumn("df", F.count(F.lit(1)).over(wsh))
     if counters is not None:
         row = (
-            freq.filter(F.col("df") > max_shingle_freq)
-            .agg(F.count("*").alias("n"), F.coalesce(F.sum("df"), F.lit(0)).alias("rows"))
+            shc.filter(F.col("df") > max_shingle_freq)
+            .agg(
+                F.countDistinct("shingle").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .collect()[0]
         )
         counters["shingles_capped"] = int(row["n"])
         counters["shingle_rows_capped"] = int(row["rows"])
-    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
+    sh = shc.filter(F.col("df") <= max_shingle_freq).drop("df")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -676,16 +691,22 @@ def ngram_containment_pairs(
     map-side-combinable counts); the output is ordered pairs, so both
     (a,b) and (b,a) can appear — each with its own denominator."""
     sh = shingles(documents, k=k, id_col=id_col, text_col=text_col)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # r6: df as a COUNT window over the shingle partitioning — shares the
+    # self-join's exchange (see ngram_jaccard_pairs)
+    wsh = W.partitionBy("shingle")
+    shc = sh.withColumn("df", F.count(F.lit(1)).over(wsh))
     if counters is not None:
         row = (
-            freq.filter(F.col("df") > max_shingle_freq)
-            .agg(F.count("*").alias("n"), F.coalesce(F.sum("df"), F.lit(0)).alias("rows"))
+            shc.filter(F.col("df") > max_shingle_freq)
+            .agg(
+                F.countDistinct("shingle").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .collect()[0]
         )
         counters["shingles_capped"] = int(row["n"])
         counters["shingle_rows_capped"] = int(row["rows"])
-    sh = sh.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "left_semi")
+    sh = shc.filter(F.col("df") <= max_shingle_freq).drop("df")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -775,16 +796,25 @@ def substring_dup_spans(
         )
     min_run = min_match_tokens - k + 1
     g = positional_shingles(documents, k=k, id_col=id_col, text_col=text_col)
-    freq = g.groupBy("gram").agg(F.count("*").alias("occ"))
+    # r6: occurrence count as a COUNT window over the gram partitioning —
+    # the ONE hash(gram) exchange it introduces is the same one the
+    # self-join below requires, so the corpus-sized positional explode runs
+    # once and both join sides read the shared shuffle (the old aggregate +
+    # semi-join re-ran the explode and shuffled the gram table twice more)
+    wg = W.partitionBy("gram")
+    gc = g.withColumn("occ", F.count(F.lit(1)).over(wg))
     if counters is not None:
         row = (
-            freq.filter(F.col("occ") > max_gram_freq)
-            .agg(F.count("*").alias("n"), F.coalesce(F.sum("occ"), F.lit(0)).alias("rows"))
+            gc.filter(F.col("occ") > max_gram_freq)
+            .agg(
+                F.countDistinct("gram").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .collect()[0]
         )
         counters["grams_capped"] = int(row["n"])
         counters["gram_rows_capped"] = int(row["rows"])
-    g = g.join(freq.filter(F.col("occ") <= max_gram_freq), "gram", "left_semi")
+    g = gc.filter(F.col("occ") <= max_gram_freq).drop("occ")
 
     a = g.select(F.col(id_col).alias("a"), F.col("pos").alias("pa"), "gram")
     b = g.select(F.col(id_col).alias("b"), F.col("pos").alias("pb"), "gram")
@@ -923,22 +953,29 @@ def winnow_pairs(
     carries no pair signal). Fingerprint density is 2/(w+1) of grams, so
     the join input is ~4× smaller than the equivalent shingle join before
     any capping. ``counters``: optional cap-fire dict (bench-only)."""
+    # r6 plan: the per-doc distinct rides the windows' existing hash(id)
+    # partitioning (no new exchange — HashPartitioning(id) satisfies the
+    # (id, h) clustering), and the hash frequency is a COUNT window over
+    # the h partitioning that shares the self-join's exchange (the old
+    # aggregate + semi-join form shuffled the fingerprint table by h three
+    # times and re-ran the 2-window selection chain for each)
     fp = winnow_fingerprints(
         documents, k=k, w=w, id_col=id_col, text_col=text_col
     ).select(F.col(id_col).alias("id"), F.col("gram_hash").alias("h")).distinct()
-    freq = fp.groupBy("h").agg(F.count("*").alias("hf"))
+    wh = W.partitionBy("h")
+    fpc = fp.withColumn("hf", F.count(F.lit(1)).over(wh))
     if counters is not None:
         row = (
-            freq.filter(F.col("hf") > max_gram_freq)
+            fpc.filter(F.col("hf") > max_gram_freq)
             .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum("hf"), F.lit(0)).alias("rows"),
+                F.countDistinct("h").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
             )
             .collect()[0]
         )
         counters["winnow_grams_capped"] = int(row["n"])
         counters["winnow_gram_rows_capped"] = int(row["rows"])
-    fp = fp.join(freq.filter(F.col("hf") <= max_gram_freq), "h", "left_semi")
+    fp = fpc.filter(F.col("hf") <= max_gram_freq).drop("hf")
     return (
         fp.alias("x")
         .join(fp.alias("y"), "h")
