@@ -281,19 +281,24 @@ def lsh_pairs_from_signatures(
     assert num_perm % bands == 0
     rows = num_perm // bands
     banded = _band_rows(sigs, bands=bands, rows=rows, id_col=id_col, hasher=hasher)
-    # skew guard: drop pathologically large buckets
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
+    # skew guard: drop pathologically large buckets. r6: bucket size as a
+    # COUNT window over the (band, bh) partitioning — the one exchange it
+    # introduces is the same one the candidate self-join needs (the old
+    # aggregate + semi-join shuffled the banded table twice more)
+    wb = W.partitionBy("band", "bh")
+    bc = banded.withColumn("bs", F.count(F.lit(1)).over(wb))
     if counters is not None:
         row = (
-            bucket_sizes.filter(F.col("bs") > max_bucket_size)
-            .agg(F.count("*").alias("n"), F.coalesce(F.sum("bs"), F.lit(0)).alias("rows"))
+            bc.filter(F.col("bs") > max_bucket_size)
+            .agg(
+                F.countDistinct("band", "bh").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .collect()[0]
         )
         counters["buckets_capped"] = int(row["n"])
         counters["bucket_rows_capped"] = int(row["rows"])
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bs") <= max_bucket_size), ["band", "bh"], "left_semi"
-    )
+    banded = bc.filter(F.col("bs") <= max_bucket_size).drop("bs")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -612,21 +617,23 @@ def dedup_against_corpus(
         seed=seed, hasher=hasher,
     ).persist()
     banded = _band_rows(sigs, bands=bands, rows=rows, id_col=id_col, hasher=hasher)
-    bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bs"))
+    # r6: combined bucket size as a COUNT window over the (band, bh)
+    # partitioning — shares the candidate join's exchange (see
+    # lsh_pairs_from_signatures)
+    wb = W.partitionBy("band", "bh")
+    bc = banded.withColumn("bs", F.count(F.lit(1)).over(wb))
     if counters is not None:
         row = (
-            bucket_sizes.filter(F.col("bs") > max_bucket_size)
+            bc.filter(F.col("bs") > max_bucket_size)
             .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum("bs"), F.lit(0)).alias("rows"),
+                F.countDistinct("band", "bh").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
             )
             .collect()[0]
         )
         counters["buckets_capped"] = int(row["n"])
         counters["bucket_rows_capped"] = int(row["rows"])
-    banded = banded.join(
-        bucket_sizes.filter(F.col("bs") <= max_bucket_size), ["band", "bh"], "left_semi"
-    ).join(flags, id_col)
+    banded = bc.filter(F.col("bs") <= max_bucket_size).drop("bs").join(flags, id_col)
     b_new = banded.filter(F.col("_new") == 1).select(
         F.col(id_col).alias("_nid"), "band", "bh"
     )
