@@ -72,7 +72,13 @@ def betweenness(
         )
 
     ed = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).persist()
-    ed.count()
+    # scale-adaptive loop width (r6): the settled set is bounded by
+    # n_sources·|V| pair rows and every round joins |E| — size the loop
+    # from the edge count (caller's value stays the cluster cap)
+    from pagerank_optimization_spark.plans.partitioning import effective_partitions
+    from pagerank_optimization_spark.session import iterative_conf
+
+    partitions = effective_partitions(partitions, 2 * ed.count())
 
     # ---- forward pass: settled(s, v, d, sigma) --------------------------
     settled = (
@@ -81,69 +87,74 @@ def betweenness(
         .localCheckpoint(eager=True)
     )
     deepest = 0
-    for rnd in range(1, max_depth + 1):
-        cand = (
-            settled.filter(F.col("d") == rnd - 1)
-            .join(ed, "v")
-            .groupBy("s", F.col("w").alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = (
-            cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
-            .select("s", "v", F.lit(rnd).alias("d"), "sigma")
-        )
-        nxt = (
-            settled.unionByName(new)
-            .repartition(partitions, "s", "v")
-            .localCheckpoint(eager=True)
-        )
-        grew = nxt.count() > settled.count()
-        settled = nxt
-        if not grew:
-            break
-        deepest = rnd
+    _ic = iterative_conf(spark, shuffle_partitions=partitions)
+    _ic.__enter__()
+    try:
+      for rnd in range(1, max_depth + 1):
+          cand = (
+              settled.filter(F.col("d") == rnd - 1)
+              .join(ed, "v")
+              .groupBy("s", F.col("w").alias("v"))
+              .agg(F.sum("sigma").alias("sigma"))
+          )
+          new = (
+              cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
+              .select("s", "v", F.lit(rnd).alias("d"), "sigma")
+          )
+          nxt = (
+              settled.unionByName(new)
+              .repartition(partitions, "s", "v")
+              .localCheckpoint(eager=True)
+          )
+          grew = nxt.count() > settled.count()
+          settled = nxt
+          if not grew:
+              break
+          deepest = rnd
 
-    # ---- backward pass: δ per level, deepest first ----------------------
-    # level ``deepest`` seeds δ = 0 (its successors lie beyond the bound);
-    # each shallower level gathers σ_v/σ_w·(1+δ_w) from its children.
-    acc: DataFrame | None = None
-    delta_next = (
-        settled.filter(F.col("d") == deepest)
-        .select("s", "v", "sigma", F.lit(0.0).alias("delta"))
-        .localCheckpoint(eager=True)
-    )
-    for lvl in range(deepest - 1, 0, -1):
-        level = settled.filter(F.col("d") == lvl).select("s", "v", "sigma")
-        child = (
-            level.join(ed, "v")
-            .join(
-                delta_next.select(
-                    "s", F.col("v").alias("w"), F.col("sigma").alias("wsig"), "delta"
-                ),
-                ["s", "w"],
-            )
-            .groupBy("s", "v")
-            .agg(
-                F.sum(F.col("sigma") / F.col("wsig") * (F.lit(1.0) + F.col("delta"))).alias(
-                    "dep"
-                )
-            )
-        )
-        cur = (
-            level.join(child, ["s", "v"], "left")
-            .select("s", "v", "sigma", F.coalesce("dep", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=True)
-        )
-        acc = cur.select("v", "delta") if acc is None else acc.unionByName(
-            cur.select("v", "delta")
-        )
-        delta_next = cur
-    if deepest == 1:
-        # only one level beyond the sources: every reached vertex carries
-        # δ = 0 (no counted successors), so bc is identically 0 — but keep
-        # the densified-zero result shape
-        acc = delta_next.select("v", "delta")
+      # ---- backward pass: δ per level, deepest first ----------------------
+      # level ``deepest`` seeds δ = 0 (its successors lie beyond the bound);
+      # each shallower level gathers σ_v/σ_w·(1+δ_w) from its children.
+      acc: DataFrame | None = None
+      delta_next = (
+          settled.filter(F.col("d") == deepest)
+          .select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+          .localCheckpoint(eager=True)
+      )
+      for lvl in range(deepest - 1, 0, -1):
+          level = settled.filter(F.col("d") == lvl).select("s", "v", "sigma")
+          child = (
+              level.join(ed, "v")
+              .join(
+                  delta_next.select(
+                      "s", F.col("v").alias("w"), F.col("sigma").alias("wsig"), "delta"
+                  ),
+                  ["s", "w"],
+              )
+              .groupBy("s", "v")
+              .agg(
+                  F.sum(F.col("sigma") / F.col("wsig") * (F.lit(1.0) + F.col("delta"))).alias(
+                      "dep"
+                  )
+              )
+          )
+          cur = (
+              level.join(child, ["s", "v"], "left")
+              .select("s", "v", "sigma", F.coalesce("dep", F.lit(0.0)).alias("delta"))
+              .localCheckpoint(eager=True)
+          )
+          acc = cur.select("v", "delta") if acc is None else acc.unionByName(
+              cur.select("v", "delta")
+          )
+          delta_next = cur
+      if deepest == 1:
+          # only one level beyond the sources: every reached vertex carries
+          # δ = 0 (no counted successors), so bc is identically 0 — but keep
+          # the densified-zero result shape
+          acc = delta_next.select("v", "delta")
 
+    finally:
+        _ic.__exit__(None, None, None)
     ed.unpersist()
     if acc is None:  # no source reached anything
         return vertices.select("entity", F.lit(0.0).alias("bc"))
