@@ -51,25 +51,24 @@ def salsa(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
-    ev = edges.select("src", "dst")
-    # scale-adaptive loop width (r6): caller's value caps, |E| decides
+    from pyspark.sql import Window as W
+
     from pagerank_optimization_spark.plans.partitioning import effective_partitions
 
-    partitions = effective_partitions(partitions, ev.count())
+    ev = edges.select("src", "dst")
     # per-edge walk weights, computed once: a hub's forward vote splits
-    # 1/outdeg(src); an authority's backward vote splits 1/indeg(dst)
-    outdeg = ev.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    indeg = ev.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
-    ew = (
-        ev.join(outdeg, "src")
-        .join(indeg, "dst")
-        .select(
-            "src",
-            "dst",
-            (F.lit(1.0) / F.col("od")).alias("w_fwd"),
-            (F.lit(1.0) / F.col("idg")).alias("w_bwd"),
-        )
-    )
+    # 1/outdeg(src); an authority's backward vote splits 1/indeg(dst).
+    # r6: both degrees are COUNT windows over the edge list (two chained
+    # exchanges) instead of two aggregates + two joins (four), and the
+    # weighted table materializes ONCE (eager checkpoint) — its count also
+    # sizes the scale-adaptive loop width (caller's value stays the cap).
+    ew = ev.select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("src"))).alias("w_fwd"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(W.partitionBy("dst"))).alias("w_bwd"),
+    ).localCheckpoint(eager=True)
+    partitions = effective_partitions(partitions, ew.count())
     # one partitioning per gather direction, built once, reused every round
     by_src = ew.repartition(partitions, "src").persist()
     by_dst = ew.repartition(partitions, "dst").persist()
@@ -84,7 +83,7 @@ def salsa(
     hub = verts.select("entity", F.lit(1.0 / n).alias("score")).localCheckpoint(eager=True)
     auth: DataFrame | None = None
 
-    def _half(scores: DataFrame, edge_part: DataFrame, gather: str, emit: str, w: str) -> DataFrame:
+    def _half(scores: DataFrame, edge_part: DataFrame, gather: str, emit: str, w: str, eager: bool = True) -> DataFrame:
         """gather degree-split scores over one direction, L1-normalize,
         densify. r6: the normalization total rides the plan as a broadcast
         one-row aggregate (the katz.py idiom) instead of a per-half-step
@@ -104,12 +103,13 @@ def salsa(
             verts.join(raw, "entity", "left")
             .crossJoin(F.broadcast(total))
             .select("entity", (F.coalesce(F.col("raw"), F.lit(0.0)) * scale).alias("score"))
-            .localCheckpoint(eager=True)
         )
-        return out
+        return out.localCheckpoint(eager=True) if eager else out
 
     from pagerank_optimization_spark.session import iterative_conf
 
+    # (a lazy-auth, one-checkpoint-per-round variant was measured SLOWER —
+    # the doubled per-round plan costs more analysis than the saved job)
     with iterative_conf(spark, shuffle_partitions=partitions):
         for _ in range(k):
             auth = _half(hub, by_src, gather="src", emit="dst", w="w_fwd")
