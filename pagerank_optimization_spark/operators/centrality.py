@@ -41,58 +41,34 @@ def harmonic_centrality(
     spark = vertices.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
 
-    # r6: the settled set is Σ_v |ball_r(v)| PAIR rows and every round
-    # shuffles it — so (1) vertices map to dense integer vids first
-    # (16-byte pairs instead of two entity strings on every exchange; one
-    # |V|-sized join maps the bounded per-vertex result back at the end),
-    # (2) the redundant repartition between the frontier's distinct and
-    # the anti-join is gone (both already hash-partition on (v, u) at the
-    # loop width), and (3) the loop width is scale-adaptive.
-    from pagerank_optimization_spark.operators.graph_build import vertex_ids
-    from pagerank_optimization_spark.plans.partitioning import effective_partitions
-    from pagerank_optimization_spark.session import iterative_conf
-
-    ids = vertex_ids(vertices.select("entity"))
-    ed = (
-        edges.select("src", "dst")
-        .join(ids.select(F.col("entity").alias("src"), F.col("vid").alias("u")), "src")
-        .join(ids.select(F.col("entity").alias("dst"), F.col("vid").alias("w")), "dst")
-        .select("u", "w")
-        .localCheckpoint(eager=True)
-    )
-    requested = partitions
+    ed = edges.select(F.col("src").alias("u"), F.col("dst").alias("w")).persist()
     ed.count()
     settled = (
-        ids.select(
-            F.col("vid").alias("v"),
-            F.col("vid").alias("u"),
+        vertices.select(
+            F.col("entity").alias("v"),
+            F.col("entity").alias("u"),
             F.lit(0).alias("d"),
         )
+        .repartition(partitions, "v", "u")
         .persist()
     )
-    # the settled PAIR set grows ball-exponentially with the radius, so the
-    # loop width is re-derived PER ROUND from the measured settled count
-    # (sizing it once from |E| crammed a multi-million-pair round into a
-    # handful of tasks — measured 3.5× slower than the static-32 form);
-    # the caller's value stays the cap
-    n_settled = settled.count()
+    settled.count()
     frontier = settled
     for rnd in range(1, r + 1):
-        partitions = effective_partitions(requested, n_settled * 4)
-        with iterative_conf(spark, shuffle_partitions=partitions):
-            ext = (
-                frontier.filter(F.col("d") == rnd - 1)
-                .join(ed, "u")
-                .select("v", F.col("w").alias("u"))
-                .distinct()
-            )
-            new = ext.join(settled, ["v", "u"], "left_anti").select(
-                "v", "u", F.lit(rnd).alias("d")
-            )
-            nxt = settled.unionByName(new).repartition(partitions, "v", "u").persist()
-            n_settled = nxt.count()
-            settled.unpersist()
-            settled = frontier = nxt
+        ext = (
+            frontier.filter(F.col("d") == rnd - 1)
+            .join(ed, "u")
+            .select("v", F.col("w").alias("u"))
+            .distinct()
+            .repartition(partitions, "v", "u")
+        )
+        new = ext.join(settled, ["v", "u"], "left_anti").select(
+            "v", "u", F.lit(rnd).alias("d")
+        )
+        nxt = settled.unionByName(new).repartition(partitions, "v", "u").persist()
+        nxt.count()
+        settled.unpersist()
+        settled = frontier = nxt
     ed.unpersist()
     h = (
         settled.filter(F.col("d") > 0)
@@ -100,6 +76,7 @@ def harmonic_centrality(
         .agg(F.round(F.sum(F.lit(1.0) / F.col("d")), 8).alias("harmonic"))
     )
     return (
-        ids.join(h.withColumnRenamed("v", "vid"), "vid", "left")
+        vertices.select(F.col("entity"))
+        .join(h.select(F.col("v").alias("entity"), "harmonic"), "entity", "left")
         .select("entity", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
     )
