@@ -175,9 +175,31 @@ def ivf_train(
     (smallest ids — the SQL-reproducible choice; with iters=0 the whole
     quantizer is expressible in the DuckDB oracle,
     plans.oracle_sql_docs.emb_ivf_topk_sql)."""
+    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
+    cents = _ivf_train_from_uni(
+        uni, n_centroids=n_centroids, iters=iters, id_col=id_col,
+        init=init, assign_plan=assign_plan,
+    )
+    uni.unpersist()
+    return cents
+
+
+def _ivf_train_from_uni(
+    uni: DataFrame,
+    *,
+    n_centroids: int,
+    iters: int,
+    id_col: str,
+    init: str,
+    assign_plan: str,
+) -> list[list[float]]:
+    """ivf_train over an already-materialized (id, unit) table — shared by
+    ivf_train (which builds and releases its own cache) and ivf_topk (r6:
+    one localCheckpointed unit-vector table feeds training, corpus
+    assignment AND the query collect, instead of re-deriving the
+    normalization per phase)."""
     import numpy as np
 
-    uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
     order = F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
     seeds = (
         uni.withColumn("h", order)
@@ -215,7 +237,6 @@ def ivf_train(
             if nv > 1e-12:
                 new[cid] = v / nv
         cents = new
-    uni.unpersist()
     return cents.tolist()
 
 
@@ -295,8 +316,18 @@ def ivf_topk(
     ``assign_plan="literal"`` only for the oracle query (_assign_centroid)."""
     import numpy as np
 
-    cents = np.array(ivf_train(embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col, init=init, assign_plan=assign_plan))
-    uni = with_unit_vectors(embeddings, vec_col=vec_col)
+    # r6: ONE materialization of the unit-vector table feeds seeding, the
+    # Lloyd rounds, the corpus assignment and the query collect (the old
+    # form derived it separately for training — persisted — and again,
+    # uncached, for assignment + queries). localCheckpoint rather than
+    # persist so the returned lazy result stays valid after this call;
+    # blocks are reclaimed by the ContextCleaner once unreferenced.
+    uni = (
+        with_unit_vectors(embeddings, vec_col=vec_col)
+        .select(F.col(id_col), "unit")
+        .localCheckpoint(eager=True)
+    )
+    cents = np.array(_ivf_train_from_uni(uni, n_centroids=n_centroids, iters=iters, id_col=id_col, init=init, assign_plan=assign_plan))
     corpus = _assign_centroid(uni.select(F.col(id_col), "unit"), cents, id_col=id_col, plan=assign_plan).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"), F.col("cid").alias("ccid")
     )
@@ -531,8 +562,6 @@ def pq_train(
     iters=0 the whole quantizer is SQL-reproducible, the IVF convention);
     each Lloyd round is one assignment plan + one per-(sub, code, pos)
     mean aggregate for ALL subspaces together."""
-    import numpy as np
-
     if k_codes < 1:
         raise ValueError(f"pq_train: k_codes must be >= 1, got {k_codes}")
     uni = (
@@ -540,6 +569,29 @@ def pq_train(
         .select(id_col, "unit")
         .persist()
     )
+    codebooks, sv = _pq_train_from_uni(
+        uni, m_sub=m_sub, k_codes=k_codes, iters=iters, id_col=id_col, init=init
+    )
+    sv.unpersist()
+    uni.unpersist()
+    return codebooks
+
+
+def _pq_train_from_uni(
+    uni: DataFrame,
+    *,
+    m_sub: int,
+    k_codes: int,
+    iters: int,
+    id_col: str,
+    init: str,
+) -> tuple[list, DataFrame]:
+    """pq_train over an already-materialized (id, unit) table → (codebooks,
+    sv) with ``sv`` (the persisted subvector table) returned so pq_topk can
+    reuse it for the corpus assignment instead of re-deriving it (r6); the
+    CALLER owns sv's unpersist."""
+    import numpy as np
+
     dim = _pq_dim(uni, m_sub)
     d_sub = dim // m_sub
     order = F.xxhash64(F.col(id_col)) if init == "hash" else F.col(id_col)
@@ -564,9 +616,7 @@ def pq_train(
         for r in cells:
             new[r["sub"]][r["code"], r["pos"]] = r["s"] / r["n"]
         codebooks = [b.tolist() for b in new]
-    sv.unpersist()
-    uni.unpersist()
-    return codebooks
+    return codebooks, sv
 
 
 def pq_encode(
@@ -614,18 +664,15 @@ def pq_topk(
     code) ints."""
     import numpy as np
 
-    codebooks = pq_train(
-        embeddings,
-        m_sub=m_sub,
-        k_codes=k_codes,
-        iters=iters,
-        id_col=id_col,
-        vec_col=vec_col,
-        init=init,
-    )
+    # r6: one materialized unit-vector table feeds training, the corpus
+    # assignment (reusing the TRAINING pass's persisted subvector table)
+    # and the query collect — the old form re-derived the normalization
+    # and subvector explode after training
     uni = with_unit_vectors(embeddings, vec_col=vec_col).select(id_col, "unit").persist()
+    codebooks, sv = _pq_train_from_uni(
+        uni, m_sub=m_sub, k_codes=k_codes, iters=iters, id_col=id_col, init=init
+    )
     d_sub = _pq_dim(uni, m_sub) // m_sub
-    sv = _pq_subvectors(uni, id_col, m_sub, d_sub)
     assigned = _pq_assign(sv, codebooks, id_col).persist()
     qrows = uni.filter(F.col(id_col).isin(query_ids)).collect()
     lut_rows = []
@@ -656,6 +703,7 @@ def pq_topk(
     )
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
+    sv.unpersist()
     uni.unpersist()
     return out
 
