@@ -109,6 +109,10 @@ AUX_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("dang_mask", T.BinaryType(), False),  # uint8 per bucket vertex
+        T.StructField("n_dang", T.LongType(), False),       # popcount of dang_mask —
+                                                            # summed once at compile so
+                                                            # setup needs no separate
+                                                            # |D|-count job (r6)
         T.StructField("reset_arr", T.BinaryType(), True),   # float64 per bucket vertex
     ]
 )
@@ -384,7 +388,12 @@ def build_aux(
         else:
             rbytes = None
         return pd.DataFrame(
-            {"bucket": [b], "dang_mask": [mask.tobytes()], "reset_arr": [rbytes]}
+            {
+                "bucket": [b],
+                "dang_mask": [mask.tobytes()],
+                "n_dang": [int(mask.sum())],
+                "reset_arr": [rbytes],
+            }
         )
 
     return (
@@ -622,10 +631,13 @@ def _compile(
     partitions = effective_partitions(partitions, max(nnz, n))
 
     vids = ids.select("vid")
+    # lazy: only the reset/x0/resume dm0 semi-joins read this frame (rare
+    # paths, one extra anti-join each); the common path's |D| count rides
+    # the aux compile below as a per-bucket popcount (r6 — one fewer
+    # setup job per cold compile)
     dangling_vids = vids.join(
         vid_edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
-    ).persist()
-    n_dangling = dangling_vids.count()
+    )
 
     # DISTRIBUTE_DATA: blocks ⊕ aux (≤P rows), routes — compiled once.
     # broadcast_frontier: below the row limit the per-superstep rank vector
@@ -662,8 +674,12 @@ def _compile(
     blocks_aux.count()
     if routes is not None:
         routes.count()
+    # ≤P cached rows — a scalar agg over the just-materialized aux cache
+    n_dangling = int(
+        blocks_aux.agg(F.coalesce(F.sum("n_dang"), F.lit(0))).collect()[0][0]
+    )
 
-    def release(_frames=(blocks_aux, routes, vid_edges, dangling_vids)):
+    def release(_frames=(blocks_aux, routes, vid_edges)):
         # ids is localCheckpointed, not persisted: its blocks are freed by
         # the ContextCleaner once the evicted entry's references are GC'd
         for df in _frames:
